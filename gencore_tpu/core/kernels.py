@@ -1,0 +1,269 @@
+"""Device kernels (JAX/XLA) for the consensus engine.
+
+These are the TPU-native reformulations of the reference's per-read scalar
+loops into dense batched tensor ops:
+
+  * overlap_score_kernel — Pair::computeScore (pair.cpp:70-172) over a batch
+    of read pairs [P, L];
+  * consensus_kernel — Group::makeConsensus (group.cpp:320-579) over padded
+    job tensors [J, K, L] (J merge jobs, K member reads, L positions);
+  * duplex_mask_kernel — Cluster::duplexMergeBam (cluster.cpp:199-244) over
+    duplex candidate pairs [D, L].
+
+All integer arithmetic is int32 (exact); the single floating-point decision
+in the reference (`topScore < ratio * totalScore`, group.cpp:462) is
+reformulated as an exact integer cross-multiplication so device float
+precision can never flip a branch (see Options ratio fraction).
+
+Everything here is shape-polymorphic over bucketed padded shapes and jit
+cached per shape. Masked lanes are dead weight the VPU eats for free.
+"""
+
+from __future__ import annotations
+
+import functools
+from fractions import Fraction
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+I32 = jnp.int32
+
+
+def ratio_fraction(score_percent_req: float) -> tuple[int, int]:
+    """Exact small fraction for the ratio threshold.
+
+    The CLI value is a short decimal (e.g. 0.8); Fraction(str) recovers the
+    intended rational. The integer predicate 5*top < 4*total matches the
+    C++ double predicate for all reachable magnitudes (|err| of the double
+    product < 1/den gap; equality case rounds to the exact integer).
+    """
+    f = Fraction(str(float(score_percent_req))).limit_denominator(10**6)
+    return f.numerator, f.denominator
+
+
+# --------------------------------------------------------------------------
+# Pair overlap scoring
+# --------------------------------------------------------------------------
+
+def _qual2score(q, hi, mod, lo, s_hi, s_mod, s_lo, s_bad):
+    """reference pair.cpp:77-86 tiering, vectorized."""
+    return jnp.where(q >= hi, s_hi,
+                     jnp.where(q >= mod, s_mod,
+                               jnp.where(q >= lo, s_lo, s_bad)))
+
+
+@functools.partial(jax.jit, static_argnames=("hi", "mod", "lo", "s_hi", "s_mod", "s_lo", "s_bad"))
+def overlap_score_kernel(lseq, lqual, rseq, rqual, left_start, right_start,
+                         cmp_len, llen, rlen, *, hi, mod, lo, s_hi, s_mod, s_lo, s_bad):
+    """Vectorized Pair::computeScore.
+
+    Args (P pairs, L max read len):
+      lseq/rseq  uint8[P, L]  nt16 base codes
+      lqual/rqual uint8[P, L]
+      left_start/right_start/cmp_len int32[P]  overlap geometry
+        (from the first M segments + posDis, pair.cpp:103-119)
+      llen/rlen int32[P]
+    Returns (lscore, rscore, new_lqual, new_rqual) — scores int32[P, L],
+    quals uint8[P, L] with the reference's overlap-mismatch rewrite applied
+    (pair.cpp:155-167).
+    """
+    P, L = lseq.shape
+    j = jnp.arange(L, dtype=I32)[None, :]
+    ls = left_start[:, None]
+    rs = right_start[:, None]
+    cl = cmp_len[:, None]
+
+    lq = lqual.astype(I32)
+    rq = rqual.astype(I32)
+
+    # overlap membership for left positions / right positions
+    in_ov_l = (j >= ls) & (j < ls + cl) & (j < llen[:, None])
+    in_ov_r = (j >= rs) & (j < rs + cl) & (j < rlen[:, None])
+
+    # partner gather: for left pos l -> right pos l-ls+rs; clamp for safety
+    ridx = jnp.clip(j - ls + rs, 0, L - 1)
+    lidx = jnp.clip(j - rs + ls, 0, L - 1)
+    r_for_l = jnp.take_along_axis(rseq, ridx, axis=1)
+    rq_for_l = jnp.take_along_axis(rq, ridx, axis=1)
+    l_for_r = jnp.take_along_axis(lseq, lidx, axis=1)
+    lq_for_r = jnp.take_along_axis(lq, lidx, axis=1)
+
+    q2s = lambda q: _qual2score(q, hi, mod, lo, s_hi, s_mod, s_lo, s_bad)
+
+    # ---- left side ----
+    match_l = lseq == r_for_l
+    avg_l = (lq + rq_for_l) // 2
+    ov_match_score_l = q2s(avg_l) + 4
+    win_l = lq >= rq_for_l
+    ov_mis_score_l = jnp.where(win_l, q2s(lq - rq_for_l) - 3, 0)
+    ov_score_l = jnp.where(match_l, ov_match_score_l, ov_mis_score_l)
+    lscore = jnp.where(in_ov_l, ov_score_l, q2s(lq))
+    new_lqual = jnp.where(in_ov_l & ~match_l,
+                          jnp.maximum(0, lq - rq_for_l), lq).astype(jnp.uint8)
+
+    # ---- right side ----
+    match_r = rseq == l_for_r
+    avg_r = (rq + lq_for_r) // 2
+    ov_match_score_r = q2s(avg_r) + 4
+    win_r = rq > lq_for_r          # right wins strictly (left wins ties, pair.cpp:161)
+    ov_mis_score_r = jnp.where(win_r, q2s(rq - lq_for_r) - 3, 0)
+    ov_score_r = jnp.where(match_r, ov_match_score_r, ov_mis_score_r)
+    rscore = jnp.where(in_ov_r, ov_score_r, q2s(rq))
+    new_rqual = jnp.where(in_ov_r & ~match_r,
+                          jnp.maximum(0, rq - lq_for_r), rq).astype(jnp.uint8)
+
+    return lscore.astype(I32), rscore.astype(I32), new_lqual, new_rqual
+
+
+# --------------------------------------------------------------------------
+# Consensus voting
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=(
+    "hi", "mod", "lo", "base_score_req", "ratio_num", "ratio_den"))
+def consensus_kernel(seq, qual, score, valid, pos_valid, refbase,
+                     *, hi, mod, lo, base_score_req, ratio_num, ratio_den):
+    """Vectorized Group::makeConsensus voting (group.cpp:369-526).
+
+    Args (J jobs, K member reads incl. template at k=0, L positions):
+      seq   uint8[J, K, L]  member bases, pre-shifted by lenDiff for
+                             right-mode jobs (group.cpp:376-385)
+      qual  uint8[J, K, L]
+      score int32[J, K, L]  per-base scores from overlap scoring
+      valid bool[J, K]      member present
+      pos_valid bool[J, L]  position < job length
+      refbase uint8[J, L]   reference base as nt16 code, 0 = unavailable
+                             (host gathers via template ref offsets;
+                             group.cpp:430-439)
+    Returns:
+      new_seq  uint8[J, L]  consensus bases (template positions)
+      new_qual uint8[J, L]
+      diff        int32[J]  changed-base count
+      mismatch_inc int32[J] signed NM delta vs reference
+      (rollback handled here: new_seq/new_qual revert to the template row
+       when mismatch_inc > 5, group.cpp:538-566)
+    """
+    J, K, L = seq.shape
+    present = valid[:, :, None] & pos_valid[:, None, :]       # [J,K,L]
+    sc = jnp.where(present, score, 0)
+    ql = jnp.where(present, qual.astype(I32), 0)
+
+    # 16-bin tallies [J, L, 16]
+    def bin_stats(b):
+        m = present & (seq == b)
+        counts = m.sum(axis=1, dtype=I32)
+        bscore = jnp.where(m, sc, 0).sum(axis=1, dtype=I32)
+        bqual = jnp.where(m, ql, 0).sum(axis=1, dtype=I32)
+        topq = jnp.where(m, ql, 0).max(axis=1)
+        return counts, bscore, bqual, topq
+
+    stats = [bin_stats(b) for b in range(16)]
+    counts16 = jnp.stack([s[0] for s in stats], axis=-1)     # [J,L,16]
+    scores16 = jnp.stack([s[1] for s in stats], axis=-1)
+    quals16 = jnp.stack([s[2] for s in stats], axis=-1)
+    topq16 = jnp.stack([s[3] for s in stats], axis=-1)
+    total_score = sc.sum(axis=1, dtype=I32)                  # [J,L]
+
+    neg_inf = jnp.int32(-0x7FFFFFFF)
+
+    # top-base election with the reference's exact scan order/tie-breaks
+    # (group.cpp:394-402): b ascending, strict > or (== and quals[b] >= quals[top])
+    top_base = jnp.zeros((J, L), dtype=I32)
+    top_score = jnp.full((J, L), neg_inf)
+    top_quals_cur = quals16[..., 0]
+    for b in range(16):
+        better = (scores16[..., b] > top_score) | (
+            (scores16[..., b] == top_score) & (quals16[..., b] >= top_quals_cur))
+        top_base = jnp.where(better, b, top_base)
+        top_score = jnp.where(better, scores16[..., b], top_score)
+        top_quals_cur = jnp.where(better, quals16[..., b], top_quals_cur)
+
+    # secondary election skipping top (group.cpp:407-416)
+    sec_base = jnp.zeros((J, L), dtype=I32)
+    sec_score = jnp.full((J, L), neg_inf)
+    sec_quals_cur = quals16[..., 0]
+    for b in range(16):
+        is_top = top_base == b
+        better = ~is_top & ((scores16[..., b] > sec_score) | (
+            (scores16[..., b] == sec_score) & (quals16[..., b] >= sec_quals_cur)))
+        sec_base = jnp.where(better, b, sec_base)
+        sec_score = jnp.where(better, scores16[..., b], sec_score)
+        sec_quals_cur = jnp.where(better, quals16[..., b], sec_quals_cur)
+
+    take = lambda arr, idx: jnp.take_along_axis(arr, idx[..., None], axis=-1)[..., 0]
+    top_num = take(counts16, top_base)
+    top_qual = take(topq16, top_base)
+    sec_num = take(counts16, sec_base)
+    sec_qual_sum = take(quals16, sec_base)
+
+    # early accept (group.cpp:422-428): keep template base, write topQual
+    accept_early = (sec_num == 0) & (top_score >= base_score_req) & (top_qual >= mod)
+
+    # needToCheckRef rules (group.cpp:419-467)
+    need_ref = (sec_num == 0) & ~accept_early
+    nr1 = (sec_num == 1) & jnp.where(
+        sec_qual_sum <= lo,
+        (top_num < 2) & (top_qual < hi),
+        (top_num < 3) | (top_qual < hi))
+    need_ref |= nr1
+    # ratio test via exact integer cross-multiplication (see ratio_fraction)
+    nr2 = (sec_num > 1) & (
+        (top_score * ratio_den < ratio_num * total_score) | (top_qual < mod))
+    need_ref |= nr2
+    need_ref |= (top_score < base_score_req) | (top_qual <= lo)
+
+    has_ref = refbase != 0
+    do_ref = need_ref & has_ref & ~accept_early
+
+    # ref-consistent evidence (group.cpp:470-501)
+    ref_m = present & (seq == refbase[:, None, :])
+    ref_base_qual = jnp.where(ref_m, ql, 0).max(axis=1)
+    any_high_ref = (jnp.where(ref_m, ql, 0) >= hi).any(axis=1) & ref_m.any(axis=1)
+
+    rb = refbase.astype(I32)
+    top_base2 = jnp.where(do_ref & any_high_ref, rb, top_base)
+    top_base2 = jnp.where(do_ref & (top_qual < mod), rb, top_base2)
+    top_qual2 = jnp.where(do_ref & (top_base2 == rb), ref_base_qual, top_qual)
+
+    out_base = seq[:, 0, :].astype(I32)
+    out_qual_orig = qual[:, 0, :]
+
+    changed = ~accept_early & (out_base != top_base2) & pos_valid
+    cand_seq = jnp.where(changed, top_base2, out_base)
+    cand_qual = jnp.where(pos_valid,
+                          jnp.where(accept_early, top_qual, top_qual2),
+                          out_qual_orig.astype(I32))
+
+    diff = changed.sum(axis=1, dtype=I32)
+    minc = jnp.where(changed & has_ref,
+                     jnp.where(out_base == rb, 1,
+                               jnp.where(top_base2 == rb, -1, 0)),
+                     0).sum(axis=1, dtype=I32)
+
+    rollback = (minc > 5)[:, None]
+    new_seq = jnp.where(rollback, out_base, cand_seq).astype(jnp.uint8)
+    new_qual = jnp.where(rollback, out_qual_orig.astype(I32), cand_qual).astype(jnp.uint8)
+    return new_seq, new_qual, diff, minc.squeeze() if minc.ndim > 1 else minc
+
+
+@jax.jit
+def duplex_mask_kernel(seq1, qual1, seq2, qual2, n):
+    """Vectorized Cluster::duplexMergeBam (cluster.cpp:199-244).
+
+    seq/qual uint8[D, L]; n int32[D] = min(len1,len2) per candidate.
+    Returns (new_seq1, new_qual1, new_seq2, new_qual2, mismatches int32[D]).
+    The abs(len1-len2) term of `diff` is added host-side.
+    """
+    D, L = seq1.shape
+    j = jnp.arange(L, dtype=I32)[None, :]
+    in_range = j < n[:, None]
+    mism = in_range & (seq1 != seq2)
+    N = jnp.uint8(15)
+    z = jnp.uint8(0)
+    new_seq1 = jnp.where(mism, N, seq1)
+    new_seq2 = jnp.where(mism, N, seq2)
+    new_qual1 = jnp.where(mism, z, qual1)
+    new_qual2 = jnp.where(mism, z, qual2)
+    return new_seq1, new_qual1, new_seq2, new_qual2, mism.sum(axis=1, dtype=I32)

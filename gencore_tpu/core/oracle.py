@@ -23,7 +23,9 @@ from gencore_tpu.io import bam as bamio
 from gencore_tpu.options import Options
 from gencore_tpu.stats import Stats
 from gencore_tpu.utils import cigar as cig
-from gencore_tpu.utils.umi import get_umi_from_qname, is_duplex, umi_diff
+from gencore_tpu.core.grouping import greedy_umi_groups
+from gencore_tpu.core.postmerge import postprocess_cluster
+from gencore_tpu.utils.umi import get_umi_from_qname
 
 N4BITS = 15  # BamUtil::base2fourbits('N')
 
@@ -598,87 +600,23 @@ class OCluster:
                        post_stats: Stats, cross_contig: bool) -> list:
         """reference cluster.cpp:55-188."""
         opt = self.opt
-        umi_count: dict = {}
-        has_umi = False
-        for k in sorted(self.pairs):
-            u = self.pairs[k].umi
-            if u:
-                has_umi = True
-            umi_count[u] = umi_count.get(u, 0) + 1
+        keys = sorted(self.pairs)
+        pairs = [self.pairs[k] for k in keys]
+        umis = [p.umi for p in pairs]
+        has_umi = any(umis)
 
+        idx_groups = greedy_umi_groups(umis, umi_diff_threshold)
         groups = []
-        while self.pairs:
-            # top UMI: strictly-greater scan in map (lexicographic) order
-            top_umi = ""
-            top_count = 0
-            for u in sorted(umi_count):
-                if umi_count[u] > top_count:
-                    top_count = umi_count[u]
-                    top_umi = u
+        for idxs in idx_groups:
             g = OGroup(opt, self.ref)
-            for k in sorted(self.pairs):
-                p = self.pairs[k]
-                if umi_diff(p.umi, top_umi) <= umi_diff_threshold:
-                    g.add_pair(p)
-                    del self.pairs[k]
-                    umi_count[p.umi] = 0
+            for i in idxs:
+                g.add_pair(pairs[i])
             groups.append(g)
-            umi_count[top_umi] = 0
+        self.pairs.clear()
 
         pre_stats.add_cluster(len(groups) > 1)
-
         single = [g.consensus_merge(cross_contig) for g in groups]
-
-        results = []
-        if has_umi and not opt.disable_duplex:
-            # duplex pass (cluster.cpp:119-168)
-            while single:
-                p1 = single.pop()
-                umi1 = p1.umi
-                found = False
-                for i, p2 in enumerate(single):
-                    if is_duplex(umi1, p2.umi):
-                        found = True
-                        d = duplex_merge(p1, p2)
-                        pre_stats.add_molecule(p1.merge_reads + p2.merge_reads,
-                                               p1.left is not None and p1.right is not None)
-                        if d <= opt.duplex_mismatch_threshold:
-                            if p1.merge_reads + p2.merge_reads >= opt.cluster_size_req:
-                                p1.is_duplex = True
-                                p1.reverse_merge_reads = p2.merge_reads
-                                p1.write_sscs_dcs_tag()
-                                post_stats.add_dcs()
-                                results.append(p1)
-                        del single[i]
-                        break
-                if not found:
-                    pre_stats.add_molecule(p1.merge_reads,
-                                           p1.left is not None and p1.right is not None)
-                    if not opt.duplex_only and p1.merge_reads >= opt.cluster_size_req:
-                        p1.write_sscs_dcs_tag()
-                        post_stats.add_sscs()
-                        results.append(p1)
-        else:
-            for p in single:
-                pre_stats.add_molecule(p.merge_reads,
-                                       p.left is not None and p.right is not None)
-                if not opt.duplex_only and p.merge_reads >= opt.cluster_size_req:
-                    p.write_sscs_dcs_tag()
-                    post_stats.add_sscs()
-                    results.append(p)
-        if results:
-            post_stats.add_cluster(len(results) > 1)
-        return results
-
-
-def duplex_merge(p1: OPair, p2: OPair) -> int:
-    """reference cluster.cpp:190-244."""
-    d = 0
-    if p1.left is not None and p2.left is not None:
-        d += duplex_merge_bam(p1.left, p2.left)
-    if p1.right is not None and p2.right is not None:
-        d += duplex_merge_bam(p1.right, p2.right)
-    return d
+        return postprocess_cluster(single, has_umi, opt, pre_stats, post_stats)
 
 
 class OracleEngine:
@@ -829,31 +767,3 @@ class OracleEngine:
             nm_out = r.nm_new if r.nm_new is not None else r.nm_val
             self.post_stats.add_read(r.tid, r.pos, r.l_qseq, nm_out)
         return out
-
-
-def duplex_merge_bam(b1: ORead, b2: ORead) -> int:
-    """Mask disagreeing bases to N/qual0 in BOTH reads, return mismatch count
-    + length difference (cluster.cpp:199-244).
-
-    The reference iterates packed bytes and skips ahead when a BYTE matches
-    (two bases at once); a byte-level match always means both bases match, so
-    per-base comparison is equivalent except at odd `i` after a differing
-    byte: the reference re-checks per-base. Net effect equals per-base
-    comparison over min(len1,len2)... with one quirk: the byte-match shortcut
-    `i++` advances by 2 from an even i, so an odd-position trailing base of an
-    odd-length overlap is compared through its (padded) byte. We reproduce
-    per-base semantics on the unpacked codes, matching byte packing with
-    0-padding.
-    """
-    len1, len2 = b1.l_qseq, b2.l_qseq
-    d = abs(len1 - len2)
-    n = min(len1, len2)
-    s1, s2 = b1.seq, b2.seq
-    mism = (s1[:n] != s2[:n]).nonzero()[0]
-    for i in mism:
-        d += 1
-        b1.qual[i] = 0
-        b2.qual[i] = 0
-        s1[i] = N4BITS
-        s2[i] = N4BITS
-    return d
