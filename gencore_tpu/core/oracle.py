@@ -44,6 +44,7 @@ class ORead:
     isize: int
     flag: int
     mapq: int
+    bin: int
     qname: bytes
     cigar: np.ndarray          # packed uint32
     seq: np.ndarray            # nt16 codes uint8[l_qseq] (mutable)
@@ -86,7 +87,8 @@ class ORead:
             aux += b"RRC" + bytes([self.rr_tag & 0xFF])
         return bamio.encode_record(
             self.tid, self.pos, self.qname, self.flag, self.mapq, self.cigar,
-            self.mtid, self.mpos, self.isize, self.seq, self.qual, bytes(aux))
+            self.mtid, self.mpos, self.isize, self.seq, self.qual, bytes(aux),
+            bin_=self.bin)
 
 
 def _find_aux_offset(aux: bytes, tag: bytes):
@@ -109,7 +111,7 @@ def oread_from_batch(batch: bamio.RecordBatch, i: int, serial: int | None = None
     return ORead(
         tid=int(batch.tid[i]), pos=int(batch.pos[i]), mtid=int(batch.mtid[i]),
         mpos=int(batch.mpos[i]), isize=int(batch.isize[i]), flag=int(batch.flag[i]),
-        mapq=int(batch.mapq[i]), qname=batch.qname(i),
+        mapq=int(batch.mapq[i]), bin=int(batch.bin[i]), qname=batch.qname(i),
         cigar=batch.cigar(i).copy(), seq=batch.seq_codes(i).copy(),
         qual=batch.qual(i).copy(), aux=batch.aux(i).tobytes(),
         nm_val=batch.get_int_tag(i, b"NM", 0) if nm_off is not None else 0,

@@ -1,0 +1,155 @@
+"""Record-level equivalence: VectorEngine output must match the scalar
+oracle exactly (encoded record multisets + all stats counters) on
+randomized synthetic workloads covering dup clusters, UMIs, duplex,
+soft-clips, errors, overlapping mates, pass-through and unmapped reads.
+"""
+
+import numpy as np
+import pytest
+
+from gencore_tpu.core.oracle import OracleEngine
+from gencore_tpu.engine import VectorEngine
+from gencore_tpu.io import bam
+from gencore_tpu.io.fasta import FastaRef
+from gencore_tpu.options import Options
+from tests.datagen import SyntheticBam
+
+STAT_FIELDS = [
+    "read", "base", "read_unmapped", "base_unmapped", "base_mismatches",
+    "read_with_mismatches", "cluster", "multi_molecule_cluster", "molecule",
+    "molecule_se", "molecule_pe", "uncounted_supporting_reads", "sscs_num",
+    "dcs_num",
+]
+
+
+def run_both(sb: SyntheticBam, tmp_path, opt_kwargs=None, use_fasta=True):
+    bam_path = str(tmp_path / "in.bam")
+    sb.write_bam(bam_path)
+    reader = bam.BamReader(bam_path)
+    ref = None
+    if use_fasta:
+        fa = str(tmp_path / "ref.fa")
+        sb.write_fasta(fa)
+        ref = FastaRef.load(fa)
+
+    oopt = Options(**(opt_kwargs or {}))
+    vopt = Options(**(opt_kwargs or {}))
+    oeng = OracleEngine(oopt, reader.header, fasta=ref)
+    oout = oeng.run(reader.read_all())
+    veng = VectorEngine(vopt, reader.header, fasta=ref)
+    vout = veng.run(reader.read_all())
+    return (oeng, oout), (veng, vout)
+
+
+def assert_equivalent(o, v):
+    (oeng, oout), (veng, vout) = o, v
+    o_enc = sorted(r.encode() for r in oout)
+    v_enc = sorted(r.encode() for r in vout)
+    assert len(o_enc) == len(v_enc), f"record count {len(o_enc)} vs {len(v_enc)}"
+    for i, (a, b) in enumerate(zip(o_enc, v_enc)):
+        assert a == b, f"record {i} differs"
+    for f in STAT_FIELDS:
+        for which, os_, vs_ in (("pre", oeng.pre_stats, veng.pre_stats),
+                                ("post", oeng.post_stats, veng.post_stats)):
+            assert getattr(os_, f) == getattr(vs_, f), (which, f)
+    for os_, vs_ in ((oeng.pre_stats, veng.pre_stats),
+                     (oeng.post_stats, veng.post_stats)):
+        assert (os_.supporting_histogram == vs_.supporting_histogram).all()
+        for a, b in zip(os_.genome_depth, vs_.genome_depth):
+            assert (a == b).all()
+
+
+def make_random_workload(seed: int, n_fragments: int = 120, umi_mode: str = "none",
+                         contig_len: int = 400_000, n_contigs: int = 2,
+                         error_rate: float = 0.3) -> SyntheticBam:
+    sb = SyntheticBam(seed=seed, contig_len=contig_len, n_contigs=n_contigs)
+    rng = np.random.default_rng(seed + 1000)
+    umis4 = ["AAAA", "CCCC", "GGGG", "TTTT", "ACGT", "TGCA"]
+    for _ in range(n_fragments):
+        tid = int(rng.integers(0, n_contigs))
+        pos1 = int(rng.integers(100, contig_len - 2000))
+        frag = int(rng.integers(120, 320))
+        read_len = int(rng.integers(80, 120))
+        pos2 = pos1 + frag - read_len
+        if pos2 < pos1:
+            pos2 = pos1
+        if umi_mode == "single":
+            umi = str(rng.choice(umis4))
+        elif umi_mode == "duplex":
+            a, b = rng.choice(umis4, size=2, replace=False)
+            umi = f"{a}_{b}" if rng.random() < 0.5 else f"{b}_{a}"
+        else:
+            umi = None
+        ndup = int(rng.choice([1, 1, 1, 2, 2, 3, 5]))
+        for _ in range(ndup):
+            n_err = int(rng.random() < error_rate) * int(rng.integers(1, 3))
+            softclip = int(rng.choice([0, 0, 0, 5]))
+            qual = int(rng.choice([12, 18, 25, 35, 38]))
+            sb.add_pair(tid, pos1, pos2, read_len=read_len, umi=umi,
+                        n_errors=n_err, qual=qual, softclip_left=softclip)
+    # a few mate-less and unmapped reads
+    for _ in range(5):
+        sb.add_single(0, int(rng.integers(100, contig_len - 200)), flag=0)
+    for _ in range(3):
+        sb.add_single(-1, -1, flag=4)
+    return sb
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_equivalence_no_umi(tmp_path, seed):
+    sb = make_random_workload(seed, umi_mode="none")
+    o, v = run_both(sb, tmp_path)
+    assert_equivalent(o, v)
+
+
+@pytest.mark.parametrize("seed", [4, 5])
+def test_equivalence_single_umi(tmp_path, seed):
+    sb = make_random_workload(seed, umi_mode="single")
+    o, v = run_both(sb, tmp_path)
+    assert_equivalent(o, v)
+
+
+@pytest.mark.parametrize("seed", [6, 7])
+def test_equivalence_duplex_umi(tmp_path, seed):
+    sb = make_random_workload(seed, umi_mode="duplex")
+    o, v = run_both(sb, tmp_path)
+    assert_equivalent(o, v)
+
+
+def test_equivalence_supporting_reads_2(tmp_path):
+    sb = make_random_workload(8, umi_mode="single")
+    o, v = run_both(sb, tmp_path, {"cluster_size_req": 2})
+    assert_equivalent(o, v)
+
+
+def test_equivalence_no_fasta(tmp_path):
+    sb = make_random_workload(9, umi_mode="none")
+    o, v = run_both(sb, tmp_path, use_fasta=False)
+    assert_equivalent(o, v)
+
+
+def test_equivalence_overlapping_mates(tmp_path):
+    sb = SyntheticBam(seed=30, contig_len=100_000)
+    rng = np.random.default_rng(31)
+    for k in range(40):
+        pos1 = 1000 + 137 * k
+        # heavy overlap: fragment shorter than 2 reads
+        pos2 = pos1 + int(rng.integers(10, 90))
+        for _ in range(int(rng.choice([1, 2, 3]))):
+            sb.add_pair(0, pos1, pos2, read_len=100,
+                        n_errors=int(rng.integers(0, 3)),
+                        qual=int(rng.choice([15, 25, 35])),
+                        qual2=int(rng.choice([15, 25, 35])))
+    o, v = run_both(sb, tmp_path)
+    assert_equivalent(o, v)
+
+
+def test_equivalence_tick_flush(tmp_path):
+    """>10000 clustered reads: watermark flush path + threshold quirk."""
+    sb = SyntheticBam(seed=32, contig_len=2_000_000)
+    rng = np.random.default_rng(33)
+    for k in range(5300):
+        pos1 = 1000 + 300 * k
+        sb.add_pair(0, pos1, pos1 + 120, umi=str(rng.choice(["AAAA", "AAAT", "CCCC"])))
+    o, v = run_both(sb, tmp_path)
+    assert_equivalent(o, v)
