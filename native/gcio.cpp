@@ -1,0 +1,243 @@
+// gcio — native I/O core for the TPU consensus engine.
+//
+// Replaces the role htslib plays for the reference implementation
+// (reference links -lhts; this image has no htslib, and the TPU engine
+// wants a parallel decode path anyway): multithreaded BGZF inflate/deflate
+// using libdeflate, BAM record-boundary scanning, and batched record
+// assembly helpers. Exposed as a C ABI for ctypes (no pybind11 in image).
+//
+// Layout contract with gencore_tpu/io/bam.py:
+//   decode: returns (payload bytes, record offsets) — the Python RecordBatch
+//   does vectorized field gathers on top.
+//   encode: takes a fully assembled uncompressed payload and writes BGZF.
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+#include <libdeflate.h>
+
+namespace {
+
+struct Block {
+  size_t comp_off;   // offset of deflate data within file buffer
+  size_t comp_len;
+  size_t out_off;    // offset in output buffer
+  size_t out_len;    // ISIZE
+};
+
+constexpr uint8_t kBgzfEof[28] = {
+    0x1f, 0x8b, 0x08, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00, 0xff,
+    0x06, 0x00, 0x42, 0x43, 0x02, 0x00, 0x1b, 0x00, 0x03, 0x00,
+    0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00};
+
+int hw_threads(int requested) {
+  if (requested > 0) return requested;
+  unsigned n = std::thread::hardware_concurrency();
+  return n ? static_cast<int>(n) : 2;
+}
+
+bool read_file(const char* path, std::vector<uint8_t>* out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  fseek(f, 0, SEEK_END);
+  long sz = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  out->resize(sz);
+  bool ok = sz == 0 || fread(out->data(), 1, sz, f) == static_cast<size_t>(sz);
+  fclose(f);
+  return ok;
+}
+
+// Parse BGZF block table. Returns false on malformed data.
+bool scan_blocks(const std::vector<uint8_t>& buf, std::vector<Block>* blocks,
+                 size_t* total_out) {
+  size_t pos = 0;
+  size_t out_off = 0;
+  const size_t n = buf.size();
+  while (pos + 18 <= n) {
+    if (buf[pos] != 0x1f || buf[pos + 1] != 0x8b) return false;
+    uint8_t flg = buf[pos + 3];
+    if (!(flg & 4)) return false;  // need FEXTRA for BGZF
+    uint16_t xlen;
+    memcpy(&xlen, &buf[pos + 10], 2);
+    size_t xpos = pos + 12, xend = xpos + xlen;
+    size_t bsize = 0;
+    while (xpos + 4 <= xend && xend <= n) {
+      uint8_t si1 = buf[xpos], si2 = buf[xpos + 1];
+      uint16_t slen;
+      memcpy(&slen, &buf[xpos + 2], 2);
+      if (si1 == 66 && si2 == 67 && slen == 2) {
+        uint16_t b16;
+        memcpy(&b16, &buf[xpos + 4], 2);
+        bsize = static_cast<size_t>(b16) + 1;
+      }
+      xpos += 4 + slen;
+    }
+    if (bsize == 0 || pos + bsize > n) return false;
+    uint32_t isize;
+    memcpy(&isize, &buf[pos + bsize - 4], 4);
+    Block b;
+    b.comp_off = pos + 12 + xlen;
+    b.comp_len = bsize - (12 + xlen) - 8;
+    b.out_off = out_off;
+    b.out_len = isize;
+    blocks->push_back(b);
+    out_off += isize;
+    pos += bsize;
+  }
+  *total_out = out_off;
+  return pos == n;
+}
+
+}  // namespace
+
+extern "C" {
+
+// ------------------------- decompression -------------------------
+
+// Decompress a whole BGZF file into a malloc'd buffer (caller frees with
+// gc_free). Returns nullptr on error. *out_len receives the size.
+uint8_t* gc_bgzf_read(const char* path, int64_t* out_len, int n_threads) {
+  std::vector<uint8_t> file;
+  if (!read_file(path, &file)) return nullptr;
+  std::vector<Block> blocks;
+  size_t total = 0;
+  if (!scan_blocks(file, &blocks, &total)) return nullptr;
+  uint8_t* out = static_cast<uint8_t*>(malloc(total ? total : 1));
+  if (!out) return nullptr;
+
+  int nt = hw_threads(n_threads);
+  std::atomic<size_t> next(0);
+  std::atomic<bool> failed(false);
+  auto worker = [&]() {
+    libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+    for (;;) {
+      size_t i = next.fetch_add(1);
+      if (i >= blocks.size() || failed.load(std::memory_order_relaxed)) break;
+      const Block& b = blocks[i];
+      if (b.out_len == 0) continue;
+      size_t actual = 0;
+      auto r = libdeflate_deflate_decompress(
+          d, file.data() + b.comp_off, b.comp_len, out + b.out_off, b.out_len,
+          &actual);
+      if (r != LIBDEFLATE_SUCCESS || actual != b.out_len) failed.store(true);
+    }
+    libdeflate_free_decompressor(d);
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < nt; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& t : threads) t.join();
+  if (failed.load()) {
+    free(out);
+    return nullptr;
+  }
+  *out_len = static_cast<int64_t>(total);
+  return out;
+}
+
+// Scan a decompressed BAM payload for record boundaries starting at
+// body_start. Fills offsets[0..n] (byte offsets of record bodies, relative
+// to payload start; offsets[n] = payload end). Returns record count, or -1
+// if the payload is truncated/corrupt. offsets_cap is the capacity of the
+// offsets array (entries).
+int64_t gc_bam_scan(const uint8_t* payload, int64_t len, int64_t body_start,
+                    int64_t* offsets, int64_t offsets_cap) {
+  int64_t p = body_start;
+  int64_t n = 0;
+  while (p + 4 <= len) {
+    int32_t bs;
+    memcpy(&bs, payload + p, 4);
+    if (bs < 32 || p + 4 + bs > len) return -1;
+    if (n + 1 >= offsets_cap) return -2;  // caller must grow
+    offsets[n] = p + 4;
+    ++n;
+    p += 4 + bs;
+  }
+  if (p != len) return -1;
+  offsets[n] = len;  // sentinel: end (note: includes the 4-byte gaps)
+  return n;
+}
+
+// ------------------------- compression -------------------------
+
+// Compress payload to BGZF at `path` (with EOF marker). Returns 0 on
+// success. Blocks of 65280 input bytes, compressed in parallel.
+int gc_bgzf_write(const char* path, const uint8_t* payload, int64_t len,
+                  int level, int n_threads) {
+  const size_t kChunk = 65280;
+  size_t n_blocks = (len + kChunk - 1) / kChunk;
+  if (len == 0) n_blocks = 0;
+  std::vector<std::vector<uint8_t>> comp(n_blocks);
+  int nt = hw_threads(n_threads);
+  std::atomic<size_t> next(0);
+  std::atomic<bool> failed(false);
+  auto worker = [&]() {
+    libdeflate_compressor* c = libdeflate_alloc_compressor(level);
+    std::vector<uint8_t> tmp(libdeflate_deflate_compress_bound(c, kChunk));
+    for (;;) {
+      size_t i = next.fetch_add(1);
+      if (i >= n_blocks || failed.load(std::memory_order_relaxed)) break;
+      size_t off = i * kChunk;
+      size_t in_len = std::min(kChunk, static_cast<size_t>(len) - off);
+      size_t c_len = libdeflate_deflate_compress(c, payload + off, in_len,
+                                                 tmp.data(), tmp.size());
+      if (c_len == 0 || c_len + 26 > 65536) {
+        failed.store(true);
+        break;
+      }
+      uint32_t crc = libdeflate_crc32(0, payload + off, in_len);
+      std::vector<uint8_t>& blk = comp[i];
+      blk.resize(18 + c_len + 8);
+      uint8_t hdr[18] = {0x1f, 0x8b, 0x08, 0x04, 0, 0, 0, 0, 0, 0xff,
+                         6,    0,    66,   67,   2, 0, 0, 0};
+      uint16_t bsize = static_cast<uint16_t>(18 + c_len + 8 - 1);
+      memcpy(hdr + 16, &bsize, 2);
+      memcpy(blk.data(), hdr, 18);
+      memcpy(blk.data() + 18, tmp.data(), c_len);
+      uint32_t isz = static_cast<uint32_t>(in_len);
+      memcpy(blk.data() + 18 + c_len, &crc, 4);
+      memcpy(blk.data() + 18 + c_len + 4, &isz, 4);
+    }
+    libdeflate_free_compressor(c);
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < nt; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& t : threads) t.join();
+  if (failed.load()) return -1;
+
+  FILE* f = fopen(path, "wb");
+  if (!f) return -2;
+  bool ok = true;
+  for (auto& blk : comp)
+    if (fwrite(blk.data(), 1, blk.size(), f) != blk.size()) ok = false;
+  if (fwrite(kBgzfEof, 1, sizeof(kBgzfEof), f) != sizeof(kBgzfEof)) ok = false;
+  fclose(f);
+  return ok ? 0 : -3;
+}
+
+// ------------------------- record assembly -------------------------
+
+// Batch-assemble output record bodies: for each record i, copy
+// src[src_off[i] : src_off[i]+src_len[i]] into dst at dst_off[i], preceded
+// by the little-endian int32 block_size. Used by the writer to build the
+// final payload from per-record edited bodies without Python overhead.
+void gc_assemble(const uint8_t* src, const int64_t* src_off,
+                 const int64_t* src_len, int64_t n, uint8_t* dst,
+                 const int64_t* dst_off) {
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t bs = static_cast<int32_t>(src_len[i]);
+    memcpy(dst + dst_off[i], &bs, 4);
+    memcpy(dst + dst_off[i] + 4, src + src_off[i], src_len[i]);
+  }
+}
+
+void gc_free(void* p) { free(p); }
+
+}  // extern "C"
