@@ -311,7 +311,7 @@ class VectorEngine:
         if off0 is not None and typ0 in "Cc":
             delta = off0 - int(batch.aux_off[0])
             cand = batch.aux_off[:limit] + delta
-            ok = cand + 1 <= batch.off[1:limit + 1]
+            ok = cand + 1 <= batch.end[:limit]
             probe = cand - 3
             ok &= (batch.data[np.clip(probe, 0, len(batch.data) - 1)] == tag[0])
             ok &= (batch.data[np.clip(probe + 1, 0, len(batch.data) - 1)] == tag[1])

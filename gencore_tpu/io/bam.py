@@ -75,21 +75,27 @@ class BamHeader:
 
 
 class RecordBatch:
-    """Columnar view over a contiguous buffer of BAM alignment records.
+    """Columnar view over a buffer of BAM alignment records.
 
-    `data` holds the concatenated record bodies (each body = the bytes that
-    follow block_size in the BAM spec: 32 fixed bytes + variable part);
-    `off[i]` is the byte offset of record i's body; `off[n]` = len(data).
-    Fixed fields are decoded as vectorized numpy gathers.
+    `data` is either the raw decompressed payload (records in place, each
+    preceded by its 4-byte block_size — the zero-copy native path) or a
+    concatenated bodies buffer; `off[i]`/`end[i]` delimit record i's body
+    (32 fixed bytes + variable part). Fixed fields are decoded as
+    vectorized numpy gathers.
     """
 
     FIXED = 32
 
-    def __init__(self, data: np.ndarray, off: np.ndarray):
+    def __init__(self, data: np.ndarray, off: np.ndarray, end: np.ndarray = None):
         self.data = data          # uint8[total]
-        self.off = off            # int64[n+1]
-        self.n = len(off) - 1
-        o = off[:-1]
+        if end is None:
+            # concatenated form: off is int64[n+1]
+            end = off[1:]
+            off = off[:-1]
+        self.off = off            # int64[n] body starts
+        self.end = end            # int64[n] body ends
+        self.n = len(off)
+        o = off
         self.tid = self._i32(o, 0)
         self.pos = self._i32(o, 4)
         l_read_name = self._u8(o, 8).astype(np.int32)
@@ -108,7 +114,6 @@ class RecordBatch:
         self.seq_off = self.cigar_off + 4 * self.n_cigar
         self.qual_off = self.seq_off + ((self.l_qseq + 1) >> 1)
         self.aux_off = self.qual_off + self.l_qseq
-        self.end = off[1:]
 
     # --- vectorized field gathers ---
     def _u8(self, o, d):
@@ -127,7 +132,7 @@ class RecordBatch:
 
     # --- per-record accessors (python-level; used on small sets) ---
     def record_bytes(self, i: int) -> bytes:
-        return self.data[self.off[i]:self.off[i + 1]].tobytes()
+        return self.data[self.off[i]:self.end[i]].tobytes()
 
     def qname(self, i: int) -> bytes:
         raw = self.data[self.qname_off[i]:self.cigar_off[i]].tobytes()
@@ -152,7 +157,7 @@ class RecordBatch:
         return self.data[self.qual_off[i]:self.aux_off[i]]
 
     def aux(self, i: int) -> np.ndarray:
-        return self.data[self.aux_off[i]:self.off[i + 1]]
+        return self.data[self.aux_off[i]:self.end[i]]
 
     def qnames_all(self) -> list:
         """All qnames as a list of bytes (vector-friendly packing later)."""
@@ -197,7 +202,7 @@ class RecordBatch:
         Mirrors htslib bam_aux_get walk (used at src/bamutil.cpp:26,126).
         """
         a = int(self.aux_off[i])
-        end = int(self.off[i + 1])
+        end = int(self.end[i])
         data = self.data
         while a + 3 <= end:
             t0, t1, typ = data[a], data[a + 1], chr(data[a + 2])
@@ -217,7 +222,7 @@ class RecordBatch:
         off, typ = self.find_tag(i, tag)
         if off is None or typ != "Z":
             return None
-        end = int(self.off[i + 1])
+        end = int(self.end[i])
         j = off
         while j < end and self.data[j] != 0:
             j += 1
@@ -265,9 +270,34 @@ def _aux_to_int(data: np.ndarray, off: int, typ: str, default: int = 0) -> int:
 
 
 class BamReader:
-    """Whole-file BAM reader (fallback). The native reader streams blocks."""
+    """Whole-file BAM reader: threaded native BGZF+scan when available,
+    pure-Python fallback otherwise."""
 
     def __init__(self, path: str):
+        from gencore_tpu.io import native
+        self._payload_arr = native.bgzf_read(path)
+        if self._payload_arr is not None:
+            payload = self._payload_arr.tobytes() if False else None
+            buf = self._payload_arr
+            if buf[:4].tobytes() != BAM_MAGIC:
+                raise ValueError("not a BAM file")
+            l_text = int(buf[4:8].view(np.int32)[0])
+            p = 8 + l_text
+            text = buf[8:p].tobytes()
+            n_ref = int(buf[p:p + 4].view(np.int32)[0])
+            p += 4
+            names, lengths = [], []
+            for _ in range(n_ref):
+                l_name = int(buf[p:p + 4].view(np.int32)[0])
+                p += 4
+                names.append(buf[p:p + l_name - 1].tobytes().decode())
+                p += l_name
+                lengths.append(int(buf[p:p + 4].view(np.int32)[0]))
+                p += 4
+            self.header = BamHeader(text, names, lengths)
+            self._body_start = p
+            self._payload = None
+            return
         payload = bgzf.decompress_file(path)
         if payload[:4] != BAM_MAGIC:
             raise ValueError("not a BAM file")
@@ -289,6 +319,20 @@ class BamReader:
         self._body_start = p
 
     def read_all(self) -> RecordBatch:
+        if self._payload_arr is not None:
+            from gencore_tpu.io import native
+            bounds = native.bam_scan(self._payload_arr, self._body_start)
+            if bounds is not None:
+                n = len(bounds) - 1
+                off = bounds[:n]
+                end = np.empty(n, dtype=np.int64)
+                end[:-1] = bounds[1:n] - 4
+                if n:
+                    end[-1] = bounds[n]
+                return RecordBatch(self._payload_arr, off, end)
+            # fall through to python scan on the native-decompressed buffer
+            self._payload = self._payload_arr.tobytes()
+            self._payload_arr = None
         payload = self._payload
         p = self._body_start
         n = len(payload)
@@ -318,7 +362,12 @@ class BamWriter:
         self._chunks.append(struct.pack("<i", len(body)) + body)
 
     def close(self):
-        bgzf.compress_to_file(self.path, b"".join(self._chunks), self.level)
+        from gencore_tpu.io import native
+        payload = b"".join(self._chunks)
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        if native.bgzf_write(self.path, arr, self.level):
+            return
+        bgzf.compress_to_file(self.path, payload, self.level)
 
 
 def encode_record(tid: int, pos: int, qname: bytes, flag: int, mapq: int,

@@ -1,0 +1,126 @@
+"""ctypes bindings for the native I/O core (native/libgcio.so).
+
+Builds on demand (make in native/) and falls back to the pure-Python codec
+when the toolchain or library is unavailable. The native core does threaded
+BGZF inflate/deflate with libdeflate and BAM record-boundary scanning; the
+columnar field decode stays in vectorized numpy (io/bam.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libgcio.so")
+
+_lib = None
+_tried = False
+
+
+def _build():
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("GENCORE_NO_NATIVE"):
+        return None
+    if not os.path.exists(_LIB_PATH):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.gc_bgzf_read.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.gc_bgzf_read.argtypes = [ctypes.c_char_p,
+                                 ctypes.POINTER(ctypes.c_int64), ctypes.c_int]
+    lib.gc_bgzf_write.restype = ctypes.c_int
+    lib.gc_bgzf_write.argtypes = [ctypes.c_char_p, ctypes.c_void_p,
+                                  ctypes.c_int64, ctypes.c_int, ctypes.c_int]
+    lib.gc_bam_scan.restype = ctypes.c_int64
+    lib.gc_bam_scan.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
+    lib.gc_assemble.restype = None
+    lib.gc_assemble.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                ctypes.c_void_p, ctypes.c_int64,
+                                ctypes.c_void_p, ctypes.c_void_p]
+    lib.gc_free.restype = None
+    lib.gc_free.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return _lib
+
+
+def bgzf_read(path: str, n_threads: int = 0):
+    """Threaded BGZF decompress. Returns numpy uint8 array or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out_len = ctypes.c_int64(0)
+    ptr = lib.gc_bgzf_read(path.encode(), ctypes.byref(out_len), n_threads)
+    if not ptr:
+        return None
+    n = out_len.value
+    # copy into numpy-owned memory, then free the C buffer
+    arr = np.ctypeslib.as_array(ptr, shape=(n,)).copy()
+    lib.gc_free(ptr)
+    return arr
+
+
+def bgzf_write(path: str, payload: np.ndarray, level: int = 6,
+               n_threads: int = 0) -> bool:
+    lib = get_lib()
+    if lib is None:
+        return False
+    payload = np.ascontiguousarray(payload, dtype=np.uint8)
+    r = lib.gc_bgzf_write(path.encode(), payload.ctypes.data,
+                          len(payload), level, n_threads)
+    return r == 0
+
+
+def bam_scan(payload: np.ndarray, body_start: int):
+    """Record-boundary scan. Returns int64 offsets array [n+1] (body offsets
+    into payload; last entry = payload length) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    payload = np.ascontiguousarray(payload, dtype=np.uint8)
+    cap = max(1024, len(payload) // 40)
+    while True:
+        offsets = np.empty(cap, dtype=np.int64)
+        n = lib.gc_bam_scan(payload.ctypes.data, len(payload), body_start,
+                            offsets.ctypes.data, cap)
+        if n == -2:
+            cap *= 2
+            continue
+        if n < 0:
+            return None
+        return offsets[:n + 1]
+
+
+def assemble(src: np.ndarray, src_off: np.ndarray, src_len: np.ndarray,
+             dst: np.ndarray, dst_off: np.ndarray) -> bool:
+    lib = get_lib()
+    if lib is None:
+        return False
+    lib.gc_assemble(
+        np.ascontiguousarray(src, dtype=np.uint8).ctypes.data,
+        np.ascontiguousarray(src_off, dtype=np.int64).ctypes.data,
+        np.ascontiguousarray(src_len, dtype=np.int64).ctypes.data,
+        len(src_off), dst.ctypes.data,
+        np.ascontiguousarray(dst_off, dtype=np.int64).ctypes.data)
+    return True

@@ -1,0 +1,58 @@
+"""Native I/O core tests: identical results to the pure-Python codec."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gencore_tpu.io import bgzf, native
+from tests.datagen import SyntheticBam
+
+pytestmark = pytest.mark.skipif(native.get_lib() is None,
+                                reason="native lib unavailable")
+
+
+def test_native_bgzf_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    payload = rng.integers(0, 256, size=1_000_000, dtype=np.uint8)
+    p = str(tmp_path / "x.bgzf")
+    assert native.bgzf_write(p, payload)
+    back = native.bgzf_read(p)
+    assert back is not None and (back == payload).all()
+    # python reader can read native-written file and vice versa
+    py = np.frombuffer(bgzf.decompress_file(p), dtype=np.uint8)
+    assert (py == payload).all()
+    p2 = str(tmp_path / "y.bgzf")
+    bgzf.compress_to_file(p2, payload.tobytes())
+    back2 = native.bgzf_read(p2)
+    assert (back2 == payload).all()
+
+
+def test_native_reader_matches_python(tmp_path):
+    sb = SyntheticBam(seed=9, contig_len=100_000)
+    for k in range(50):
+        sb.add_pair(0, 1000 + 101 * k, 1100 + 101 * k, umi="ACGT")
+    path = str(tmp_path / "t.bam")
+    sb.write_bam(path)
+
+    from gencore_tpu.io import bam
+    r_native = bam.BamReader(path)
+    assert r_native._payload_arr is not None, "native path not taken"
+    b1 = r_native.read_all()
+
+    os.environ["GENCORE_NO_NATIVE"] = "1"
+    try:
+        native._lib = None
+        native._tried = True  # force fallback
+        r_py = bam.BamReader(path)
+        b2 = r_py.read_all()
+    finally:
+        del os.environ["GENCORE_NO_NATIVE"]
+        native._tried = False
+
+    assert b1.n == b2.n
+    for i in range(b1.n):
+        assert b1.record_bytes(i) == b2.record_bytes(i)
+    assert (b1.tid == b2.tid).all()
+    assert (b1.pos == b2.pos).all()
+    assert (b1.l_qseq == b2.l_qseq).all()
