@@ -93,8 +93,7 @@ def main():
     # include output encode (part of end-to-end)
     out_path = os.path.join(BENCH_DIR, "bench_out.bam")
     w = bamio.BamWriter(out_path, reader.header)
-    for r in outs:
-        w.write_record(r.encode())
+    w.write_table(outs)
     w.close()
     elapsed = time.time() - t1
 

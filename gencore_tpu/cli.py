@@ -154,8 +154,11 @@ def main(argv=None) -> int:
     outs = engine.run(reader.read_all())
 
     writer = bamio.BamWriter(opt.output, header)
-    for r in outs:
-        writer.write_record(r.encode())
+    if hasattr(outs, "build_payload"):
+        writer.write_table(outs)
+    else:
+        for r in outs:
+            writer.write_record(r.encode())
     writer.close()
 
     print("----Before gencore processing:", file=sys.stderr)

@@ -122,9 +122,10 @@ def overlap_score_kernel(lseq, lqual, rseq, rqual, left_start, right_start,
 # --------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=(
-    "hi", "mod", "lo", "base_score_req", "ratio_num", "ratio_den"))
+    "hi", "mod", "lo", "base_score_req", "ratio_num", "ratio_den", "full_bins"))
 def consensus_kernel(seq, qual, score, valid, pos_valid, refbase,
-                     *, hi, mod, lo, base_score_req, ratio_num, ratio_den):
+                     *, hi, mod, lo, base_score_req, ratio_num, ratio_den,
+                     full_bins=True):
     """Vectorized Group::makeConsensus voting (group.cpp:369-526).
 
     Args (J jobs, K member reads incl. template at k=0, L positions):
@@ -150,7 +151,15 @@ def consensus_kernel(seq, qual, score, valid, pos_valid, refbase,
     sc = jnp.where(present, score, 0)
     ql = jnp.where(present, qual.astype(I32), 0)
 
-    # 16-bin tallies [J, L, 16]
+    # Bin set: BAM nt16 codes. When the batch contains only =ACGTN codes
+    # (the overwhelmingly common case; checked host-side), only bins
+    # {0,1,2,4,8,15} can be non-empty, and all always-empty bins behave as
+    # a single virtual candidate with key (score=0, qual=0, index=14): the
+    # original b=0..15 scan equals an argmax of (score, qual, b)
+    # lexicographic with later-index tie-wins (see proof in docs), so empty
+    # bins are dominated by the largest empty index (14; 15 is a real bin).
+    bins = tuple(range(16)) if full_bins else (0, 1, 2, 4, 8, 15)
+
     def bin_stats(b):
         m = present & (seq == b)
         counts = m.sum(axis=1, dtype=I32)
@@ -159,44 +168,64 @@ def consensus_kernel(seq, qual, score, valid, pos_valid, refbase,
         topq = jnp.where(m, ql, 0).max(axis=1)
         return counts, bscore, bqual, topq
 
-    stats = [bin_stats(b) for b in range(16)]
-    counts16 = jnp.stack([s[0] for s in stats], axis=-1)     # [J,L,16]
-    scores16 = jnp.stack([s[1] for s in stats], axis=-1)
-    quals16 = jnp.stack([s[2] for s in stats], axis=-1)
-    topq16 = jnp.stack([s[3] for s in stats], axis=-1)
+    stats = [bin_stats(b) for b in bins]
+    countsB = jnp.stack([s[0] for s in stats], axis=-1)     # [J,L,B]
+    scoresB = jnp.stack([s[1] for s in stats], axis=-1)
+    qualsB = jnp.stack([s[2] for s in stats], axis=-1)
+    topqB = jnp.stack([s[3] for s in stats], axis=-1)
     total_score = sc.sum(axis=1, dtype=I32)                  # [J,L]
 
     neg_inf = jnp.int32(-0x7FFFFFFF)
+    zero = jnp.zeros((J, L), dtype=I32)
 
-    # top-base election with the reference's exact scan order/tie-breaks
-    # (group.cpp:394-402): b ascending, strict > or (== and quals[b] >= quals[top])
+    # top-base election: argmax of (score, qual, bin-index) lexicographic,
+    # later index winning ties — exactly the reference's b-ascending scan
+    # with `> || (== && quals[b] >= quals[top])` (group.cpp:394-402)
     top_base = jnp.zeros((J, L), dtype=I32)
     top_score = jnp.full((J, L), neg_inf)
-    top_quals_cur = quals16[..., 0]
-    for b in range(16):
-        better = (scores16[..., b] > top_score) | (
-            (scores16[..., b] == top_score) & (quals16[..., b] >= top_quals_cur))
+    top_quals_cur = zero
+    for bi, b in enumerate(bins):
+        better = (scoresB[..., bi] > top_score) | (
+            (scoresB[..., bi] == top_score) & (qualsB[..., bi] >= top_quals_cur))
         top_base = jnp.where(better, b, top_base)
-        top_score = jnp.where(better, scores16[..., b], top_score)
-        top_quals_cur = jnp.where(better, quals16[..., b], top_quals_cur)
+        top_score = jnp.where(better, scoresB[..., bi], top_score)
+        top_quals_cur = jnp.where(better, qualsB[..., bi], top_quals_cur)
+    if not full_bins:
+        # virtual always-empty candidate, lexmax key (score=0, qual=0, b=14)
+        v_better = (0 > top_score) | ((top_score == 0) & (top_quals_cur <= 0) & (top_base < 14))
+        top_base = jnp.where(v_better, 14, top_base)
+        top_score = jnp.where(v_better, 0, top_score)
+        top_quals_cur = jnp.where(v_better, 0, top_quals_cur)
 
     # secondary election skipping top (group.cpp:407-416)
     sec_base = jnp.zeros((J, L), dtype=I32)
     sec_score = jnp.full((J, L), neg_inf)
-    sec_quals_cur = quals16[..., 0]
-    for b in range(16):
+    sec_quals_cur = zero
+    for bi, b in enumerate(bins):
         is_top = top_base == b
-        better = ~is_top & ((scores16[..., b] > sec_score) | (
-            (scores16[..., b] == sec_score) & (quals16[..., b] >= sec_quals_cur)))
+        better = ~is_top & ((scoresB[..., bi] > sec_score) | (
+            (scoresB[..., bi] == sec_score) & (qualsB[..., bi] >= sec_quals_cur)))
         sec_base = jnp.where(better, b, sec_base)
-        sec_score = jnp.where(better, scores16[..., b], sec_score)
-        sec_quals_cur = jnp.where(better, quals16[..., b], sec_quals_cur)
+        sec_score = jnp.where(better, scoresB[..., bi], sec_score)
+        sec_quals_cur = jnp.where(better, qualsB[..., bi], sec_quals_cur)
+    if not full_bins:
+        # virtual empty for sec: index 14 unless top took it, then 13
+        vidx = jnp.where(top_base == 14, 13, 14)
+        v_better = (0 > sec_score) | ((sec_score == 0) & (sec_quals_cur <= 0) & (sec_base < vidx))
+        sec_base = jnp.where(v_better, vidx, sec_base)
+        sec_score = jnp.where(v_better, 0, sec_score)
+        sec_quals_cur = jnp.where(v_better, 0, sec_quals_cur)
 
-    take = lambda arr, idx: jnp.take_along_axis(arr, idx[..., None], axis=-1)[..., 0]
-    top_num = take(counts16, top_base)
-    top_qual = take(topq16, top_base)
-    sec_num = take(counts16, sec_base)
-    sec_qual_sum = take(quals16, sec_base)
+    def take_bin(arr, idx):
+        out = jnp.zeros((J, L), dtype=arr.dtype)
+        for bi, b in enumerate(bins):
+            out = jnp.where(idx == b, arr[..., bi], out)
+        return out
+
+    top_num = take_bin(countsB, top_base)
+    top_qual = take_bin(topqB, top_base)
+    sec_num = take_bin(countsB, sec_base)
+    sec_qual_sum = take_bin(qualsB, sec_base)
 
     # early accept (group.cpp:422-428): keep template base, write topQual
     accept_early = (sec_num == 0) & (top_score >= base_score_req) & (top_qual >= mod)

@@ -3,30 +3,34 @@
 Reformulates the reference's record-at-a-time streaming design
 (gencore.cpp:162-477) as batch dataflow:
 
-  1. columnar decode (io.bam.RecordBatch)
-  2. vectorized pre-stats + cluster-key computation (sort-by-key replaces the
-     nested std::map hierarchy, gencore.h:76)
-  3. pair assembly + greedy UMI grouping (shared with the oracle)
-  4. host-side template election over CIGAR equivalence classes
+  1. columnar decode (io.bam.RecordBatch, native BGZF core)
+  2. vectorized pre-stats + cluster-key computation (sort-by-key replaces
+     the nested std::map hierarchy, gencore.h:76)
+  3. vectorized pair assembly, UMI extraction (core.umivec) and greedy UMI
+     grouping (single-UMI fast path; shared python greedy for the rest)
+  4. template election: segment reductions over CIGAR equivalence classes
+     (core.cigartable) with a python fallback for mixed-cigar groups
   5. device kernels (core.kernels) for overlap scoring + consensus voting
-     over padded job tensors
+     over padded job tensors, bucketed by member count
   6. shared per-cluster duplex/threshold flow (core.postmerge)
   7. ordered output assembly + post-stats
 
-Output is record-equivalent to the scalar oracle (and thus to the documented
-reference behavior); tests/test_engine_equivalence.py enforces this on
-randomized workloads.
+Output is record-equivalent to the scalar oracle (and thus to the
+documented reference behavior); tests/test_engine_equivalence.py enforces
+this on randomized workloads.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
-from gencore_tpu.core import kernels
+from gencore_tpu.core import kernels, umivec
+from gencore_tpu.core.cigartable import CigarTable
 from gencore_tpu.core.grouping import greedy_umi_groups
-from gencore_tpu.core.oracle import ORead, OPair, RefLookup, get_umi
+from gencore_tpu.core.oracle import OPair, RefLookup
+from gencore_tpu.core.output import OutRead, OutputTable
 from gencore_tpu.core.postmerge import postprocess_cluster
 from gencore_tpu.io import bam as bamio
 from gencore_tpu.options import Options
@@ -35,6 +39,15 @@ from gencore_tpu.utils import cigar as cig
 
 PAIR_GAP_LIMIT = 100_000  # gencore.cpp:300
 TICK = 10_000             # gencore.cpp:319-322
+BIG = np.int64(1 << 60)
+
+_ASCII_TO_NT16 = np.zeros(256, dtype=np.uint8)
+for _c, _v in zip(b"ACGT", (1, 2, 4, 8)):
+    _ASCII_TO_NT16[_c] = _v
+
+_OK_CODES = np.zeros(256, dtype=bool)
+for _v in (0, 1, 2, 4, 8, 15):
+    _OK_CODES[_v] = True
 
 
 def _next_pow2(x: int) -> int:
@@ -45,29 +58,19 @@ def _next_pow2(x: int) -> int:
 
 
 @dataclass
-class _Group:
-    cluster_ord: int          # cluster ordinal (processing order)
-    pair_ids: list            # pair indices (qname order within cluster)
-    cross_contig: bool
-    # per-side election results (filled by _elect)
-    left_job: int = -1        # index into job list, -1 = no output read
-    right_job: int = -1
-    left_single: int = -1     # pair id for the single-pair early return
-    # job bookkeeping
-    result: object = None
-
-
-@dataclass
 class _Job:
-    group: _Group
-    is_left_side: bool        # which side of the pair this job produces
-    left_read_mode: bool      # election/vote alignment mode
+    group_id: int
+    is_left_side: bool
+    left_read_mode: bool
+    template_read: int        # record index of template
     template_pair: int        # pair id owning the template read
-    template_read: int        # read index of template
-    members_reads: list       # read indices (template first)
-    members_pairs: list       # pair ids aligned with members_reads
-    len_diffs: list           # per member
     job_len: int
+    # fast jobs: slice into the side's flat member-row array
+    flat_start: int = -1
+    k: int = 0
+    # slow jobs: explicit member lists
+    members_reads: list = None
+    len_diffs: list = None
     # results
     new_seq: np.ndarray = None
     new_qual: np.ndarray = None
@@ -79,6 +82,7 @@ class VectorEngine:
     def __init__(self, opt: Options, header: bamio.BamHeader, fasta=None, bed=None):
         self.opt = opt
         self.header = header
+        self.fasta = fasta
         self.ref = RefLookup(fasta, header.names)
         pre_bed = bed
         post_bed = bed.copy_structure() if bed is not None else None
@@ -86,16 +90,30 @@ class VectorEngine:
                                bed_stats=pre_bed, is_post=False)
         self.post_stats = Stats(opt.coverage_step, header.names, header.lengths,
                                 bed_stats=post_bed, is_post=True)
-        self._ipo_cache: dict = {}    # (cig_bytes, cig_bytes, mode) -> bool
-        self._cig_cache: dict = {}    # cig_bytes -> parsed np array
-        self._refoff_cache: dict = {} # (cig_bytes, length) -> offsets array
+        self._ipo_cache: dict = {}
+        self._cig_cache: dict = {}
+        self._refoff_cache: dict = {}
+        # concatenated genome for vectorized ref gathers
+        if fasta is not None:
+            lens = [fasta.contig_len(n) for n in header.names]
+            self._contig_len = np.array(lens, dtype=np.int64)
+            self._contig_base = np.zeros(len(lens) + 1, dtype=np.int64)
+            np.cumsum(lens, out=self._contig_base[1:])
+            parts = [fasta.get_contig(n) if fasta.get_contig(n) is not None
+                     else np.zeros(0, dtype=np.uint8) for n in header.names]
+            self._genome = (np.concatenate(parts) if parts
+                            else np.zeros(0, dtype=np.uint8))
+        else:
+            self._genome = None
+        self._umi_from_mi = False
 
     # ------------------------------------------------------------------
     def run(self, batch: bamio.RecordBatch) -> list:
         opt = self.opt
+        self.batchref = batch
         n = batch.n
         if n == 0:
-            return []
+            return self._finalize([])
 
         # UMI prefix auto-detect from first record (gencore.cpp:206-221)
         if opt.umi_prefix == "auto":
@@ -113,23 +131,24 @@ class VectorEngine:
         mpos = batch.mpos.astype(np.int64)
         isize = batch.isize.astype(np.int64)
 
-        # --quit_after_contig: stop at first record with tid >= maxContig;
-        # that record is still counted in pre-stats (gencore.cpp:222,242-246)
+        # --quit_after_contig (gencore.cpp:222,242-246)
         limit = n
         if opt.max_contig > 0:
             over = np.nonzero(tid >= opt.max_contig)[0]
             if len(over):
                 limit = int(over[0]) + 1
 
-        nm = self._extract_int_tags(batch, b"NM", limit)
+        nm, nm_patch = self._extract_nm(batch, limit)
+        self._nm_vals = nm
+        self._nm_patch = nm_patch
         self.pre_stats.add_reads_vectorized(tid[:limit], pos[:limit],
-                                            batch.l_qseq[:limit].astype(np.int64), nm)
+                                            batch.l_qseq[:limit].astype(np.int64),
+                                            nm[:limit])
         proc = limit if limit == n else limit - 1
 
         mapped = (tid[:proc] >= 0) & (pos[:proc] >= 0)
         primary = (batch.flag[:proc] & (bamio.FSECONDARY | bamio.FSUPPLEMENTARY)) == 0
-        use = mapped & primary
-        idx = np.nonzero(use)[0]
+        idx = np.nonzero(mapped & primary)[0]
 
         # cluster keys (gencore.cpp:295-313)
         t = tid[idx]
@@ -147,32 +166,27 @@ class VectorEngine:
         )
         passthrough = ~same_near & (mt < 0)
 
-        out_records: list = []   # (sortkey tuple, encoded-record-callable/ORead)
+        out_records: list = []
         self._serial = 0
-
-        # passthrough mate-less reads: raw record bytes unchanged
         for i in idx[passthrough]:
             self._emit_raw(batch, int(i), out_records)
 
         cl_mask = ~passthrough
-        cidx = idx[cl_mask]            # record indices of clustered reads
+        cidx = idx[cl_mask]
         ckey_t = t[cl_mask]
         ckey_l = left[cl_mask]
         ckey_r = right[cl_mask]
-
-        if len(cidx) == 0:
-            return self._finalize(out_records, batch)
-
-        # tick checkpoints: every 10000th clustered read (gencore.cpp:319-322);
-        # the LAST checkpoint decides which clusters were watermark-flushed
-        # (with the proper threshold) vs finished at EOF (unproper threshold)
         nclust = len(cidx)
+        if nclust == 0:
+            return self._finalize(out_records)
+
+        # tick checkpoints (gencore.cpp:319-389): the last one decides
+        # watermark-flushed vs EOF-finished threshold (quirk gencore.cpp:409)
         last_ck_tid, last_ck_pos = -1, -1
         if nclust >= TICK:
             ck = cidx[TICK - 1::TICK][-1]
             last_ck_tid, last_ck_pos = int(tid[ck]), int(pos[ck])
 
-        # sort clustered reads by (tid, left, right, qname, serial)
         qname_mat, qname_w = self._qname_matrix(batch, cidx)
         qname_keys = qname_mat.view(f"S{qname_w}").ravel()
         order = np.lexsort((cidx, qname_keys, ckey_r, ckey_l, ckey_t))
@@ -182,180 +196,267 @@ class VectorEngine:
         s_r = ckey_r[order]
         s_q = qname_keys[order]
 
-        # boundaries
         new_cluster = np.ones(nclust, dtype=bool)
         new_cluster[1:] = (s_t[1:] != s_t[:-1]) | (s_l[1:] != s_l[:-1]) | (s_r[1:] != s_r[:-1])
         new_pair = new_cluster.copy()
         new_pair[1:] |= s_q[1:] != s_q[:-1]
         pair_start = np.nonzero(new_pair)[0]
         pair_end = np.append(pair_start[1:], nclust)
-        pair_cluster_start = np.nonzero(new_cluster)[0]
-
-        # pair left = first read (stream order within equal qname = serial
-        # order; lexsort used cidx as last key so first in slice), right =
-        # LAST read (Cluster::addRead overwrites mRight, cluster.cpp:260-273)
+        # pair left = first read in stream order, right = LAST
+        # (Cluster::addRead overwrites mRight, cluster.cpp:260-273)
         pl = s_rec[pair_start]
         pr = np.where(pair_end - pair_start >= 2, s_rec[pair_end - 1], -1)
         npairs = len(pl)
 
-        # cluster id per pair
         cluster_of_pair = np.cumsum(new_cluster)[pair_start] - 1
-        nclusters = int(cluster_of_pair[-1]) + 1 if npairs else 0
-        # cluster key info per cluster
-        c_first = pair_cluster_start
+        nclusters = int(cluster_of_pair[-1]) + 1
+        c_first = np.nonzero(new_cluster)[0]
         c_tid = s_t[c_first]
         c_left = s_l[c_first]
         c_right = s_r[c_first]
+        pc_change = np.ones(npairs, dtype=bool)
+        pc_change[1:] = cluster_of_pair[1:] != cluster_of_pair[:-1]
+        c_pair_start = np.nonzero(pc_change)[0]
+        c_pair_end = np.append(c_pair_start[1:], npairs)
 
-        # threshold per cluster (watermark-flush vs EOF quirk)
         flushed = (c_tid < last_ck_tid) | (
             (c_tid == last_ck_tid) & (c_left < last_ck_pos) & (c_right < last_ck_pos))
         c_thr = np.where(flushed, opt.proper_reads_umi_diff_threshold,
                          opt.unproper_reads_umi_diff_threshold)
 
-        # ---- materialize working arrays for clustered reads ----
-        max_len = int(batch.l_qseq[cidx].max()) if len(cidx) else 0
+        # ---- working arrays + cigar metadata ----
+        max_len = int(batch.l_qseq[cidx].max())
         self.max_len = max(max_len, 1)
         work = _WorkArrays(batch, cidx, self.max_len,
                            default_score=opt.score_not_overlapped_moderate_qual)
         self.work = work
+        ct = CigarTable(batch, cidx)
 
-        # UMIs per pair (from the left read; mate mismatch is fatal,
-        # pair.cpp:196-216)
-        umis = self._pair_umis(batch, pl, pr)
+        rl = work.row_of(pl)
+        has_right = pr >= 0
+        rr = np.where(has_right, work.row_of(np.where(has_right, pr, pl)), -1)
 
-        # ---- per-cluster grouping + election ----
-        groups: list = []
+        # ---- vectorized UMIs ----
+        u_start, u_len, u_keys, u_mat = self._pair_umis_vec(
+            batch, qname_mat, cidx, rl, rr, has_right)
+        _, pair_ukey_id = np.unique(u_keys, return_inverse=True)
+        pair_has_umi = u_len > 0
+
+        # ---- grouping ----
+        seg = c_pair_start
+        uk_min = np.minimum.reduceat(pair_ukey_id, seg)
+        uk_max = np.maximum.reduceat(pair_ukey_id, seg)
+        single_umi = uk_min == uk_max
+
+        group_slices = []
+        g_cluster_l = []
+        for ci in np.nonzero(single_umi)[0]:
+            group_slices.append(np.arange(c_pair_start[ci], c_pair_end[ci]))
+            g_cluster_l.append(ci)
+        for ci in np.nonzero(~single_umi)[0]:
+            lo, hi = int(c_pair_start[ci]), int(c_pair_end[ci])
+            umis = [umivec.umi_string(u_mat, u_start, u_len, pi)
+                    for pi in range(lo, hi)]
+            for idxs in greedy_umi_groups(umis, int(c_thr[ci])):
+                group_slices.append(lo + np.asarray(idxs, dtype=np.int64))
+                g_cluster_l.append(ci)
+        g_cluster_arr = np.asarray(g_cluster_l, dtype=np.int64)
+        order_g = np.argsort(g_cluster_arr, kind="stable")
+        group_slices = [group_slices[i] for i in order_g]
+        g_cluster = g_cluster_arr[order_g]
+        G = len(group_slices)
+        g_sizes = np.array([len(s) for s in group_slices], dtype=np.int64)
+        g_start = np.zeros(G + 1, dtype=np.int64)
+        np.cumsum(g_sizes, out=g_start[1:])
+        mem_pairs = (np.concatenate(group_slices) if G
+                     else np.zeros(0, dtype=np.int64))
+        g_cross = c_right[g_cluster] < 0 if G else np.zeros(0, dtype=bool)
+
+        # single-pair-no-right early-return groups (group.cpp:73-77):
+        # excluded from election/scoring entirely
+        g_single = np.zeros(G, dtype=bool)
+        if G:
+            first_pair = mem_pairs[g_start[:-1]]
+            g_single = (g_sizes == 1) & ~has_right[first_pair]
+
+        # ---- election ----
         jobs: list = []
-        pair_of_global: dict = {}
-        cluster_groups: list = [[] for _ in range(nclusters)]
-        pair_ids_by_cluster: list = [[] for _ in range(nclusters)]
-        for pi in range(npairs):
-            pair_ids_by_cluster[int(cluster_of_pair[pi])].append(pi)
+        side_jobs = {}
+        flats = {}
+        for is_left in (True, False):
+            sj, flat = self._elect_vectorized(
+                is_left, mem_pairs, g_start, g_sizes, g_single, pl, pr, rl, rr,
+                ct, batch, jobs)
+            side_jobs[is_left] = sj
+            flats[is_left] = flat
+
+        # ---- overlap scoring ----
+        self._score_pairs_vec(batch, pl, pr, rl, rr, has_right, ct,
+                              mem_pairs, g_start, g_sizes, side_jobs, work)
+
+        # ---- voting ----
+        # =ACGTN-only data takes the reduced-bin kernel (see kernels.py)
+        full_bins = not bool(_OK_CODES[work.seq].all())
+        self._vote_jobs(jobs, batch, work, flats, full_bins)
+
+        # ---- per-cluster assembly + duplex + thresholds ----
+        group_of_cluster: list = [[] for _ in range(nclusters)]
+        for gi in range(G):
+            group_of_cluster[int(g_cluster[gi])].append(gi)
+        umi_cache: dict = {}
+
+        def pair_umi_str(pi):
+            v = umi_cache.get(pi)
+            if v is None:
+                v = umivec.umi_string(u_mat, u_start, u_len, pi)
+                umi_cache[pi] = v
+            return v
 
         for ci in range(nclusters):
-            pids = pair_ids_by_cluster[ci]
-            cluster_umis = [umis[pi] for pi in pids]
-            idx_groups = greedy_umi_groups(cluster_umis, int(c_thr[ci]))
-            for gidxs in idx_groups:
-                g = _Group(cluster_ord=ci, pair_ids=[pids[k] for k in gidxs],
-                           cross_contig=bool(c_right[ci] < 0))
-                groups.append(g)
-                cluster_groups[ci].append(g)
-
-        # election + job construction
-        for g in groups:
-            self._elect_group(g, pl, pr, batch, jobs)
-
-        # ---- device phase 1: overlap scoring ----
-        self._score_pairs(batch, pl, pr, jobs, work)
-
-        # ---- device phase 2: consensus voting ----
-        self._vote_jobs(jobs, batch, work)
-
-        # ---- assemble group results, duplex, thresholds ----
-        for ci in range(nclusters):
-            glist = cluster_groups[ci]
+            glist = group_of_cluster[ci]
             if not glist:
                 continue
             self.pre_stats.add_cluster(len(glist) > 1)
-            singles = [self._assemble_group(g, jobs, batch, pl, pr, umis, work)
-                       for g in glist]
-            has_umi = any(umis[pi] for pi in pair_ids_by_cluster[ci])
+            singles = []
+            for gi in glist:
+                singles.append(self._assemble_group(
+                    gi, group_slices[gi], bool(g_single[gi]), bool(g_cross[gi]),
+                    side_jobs, jobs, batch, pl, pr, work, pair_umi_str))
+            has_umi = bool(pair_has_umi[c_pair_start[ci]:c_pair_end[ci]].any())
             results = postprocess_cluster(singles, has_umi, opt,
                                           self.pre_stats, self.post_stats)
             for pair in results:
                 self._emit_pair(pair, out_records)
 
-        return self._finalize(out_records, batch)
+        return self._finalize(out_records)
 
     # ------------------------------------------------------------------
-    def _finalize(self, out_records: list, batch) -> list:
-        out_records.sort(key=lambda kr: kr[0])
-        outs = [r for _, r in out_records]
-        if outs:
-            self.post_stats.add_reads_vectorized(
-                np.array([r.tid for r in outs]),
-                np.array([r.pos for r in outs]),
-                np.array([r.l_qseq for r in outs]),
-                np.array([(r.nm_new if r.nm_new is not None else r.nm_val) for r in outs]),
-            )
-        return outs
+    def _pair_umis_vec(self, batch, qname_mat, cidx, rl, rr, has_right):
+        """Per-pair UMI spans (start, len, fixed-width key, source matrix).
 
-    def _emit_raw(self, batch, i: int, out_records: list):
-        from gencore_tpu.core.oracle import oread_from_batch
-        r = oread_from_batch(batch, i)
-        self._serial += 1
-        key = (r.tid if r.tid >= 0 else 0x7FFFFFFF, r.pos, r.mtid, r.mpos,
-               r.isize, self._serial)
-        out_records.append((key, r))
-
-    def _emit_pair(self, pair: OPair, out_records: list):
-        self.post_stats.add_molecule(1, pair.left is not None and pair.right is not None)
-        for r in (pair.left, pair.right):
-            if r is not None:
-                self._serial += 1
-                key = (r.tid if r.tid >= 0 else 0x7FFFFFFF, r.pos, r.mtid,
-                       r.mpos, r.isize, self._serial)
-                out_records.append((key, r))
-
-    # ------------------------------------------------------------------
-    def _extract_int_tags(self, batch, tag: bytes, limit: int) -> np.ndarray:
-        """Vectorized NM extraction: probe the first record's tag offset and
-        verify the same layout across records; fall back per-record."""
-        out = np.zeros(limit, dtype=np.int64)
-        if limit == 0:
-            return out
-        off0, typ0 = batch.find_tag(0, tag)
-        done = np.zeros(limit, dtype=bool)
-        if off0 is not None and typ0 in "Cc":
-            delta = off0 - int(batch.aux_off[0])
-            cand = batch.aux_off[:limit] + delta
-            ok = cand + 1 <= batch.end[:limit]
-            probe = cand - 3
-            ok &= (batch.data[np.clip(probe, 0, len(batch.data) - 1)] == tag[0])
-            ok &= (batch.data[np.clip(probe + 1, 0, len(batch.data) - 1)] == tag[1])
-            ok &= (batch.data[np.clip(probe + 2, 0, len(batch.data) - 1)] == ord(typ0))
-            vals = batch.data[np.clip(cand, 0, len(batch.data) - 1)].astype(np.int64)
-            if typ0 == "c":
-                vals = np.where(vals > 127, vals - 256, vals)
-            out[ok] = vals[ok]
-            done = ok
-        for i in np.nonzero(~done)[0]:
-            out[i] = batch.get_int_tag(int(i), tag, 0)
-        return out
-
-    def _qname_matrix(self, batch, idx: np.ndarray):
-        lens = batch.l_read_name[idx].astype(np.int64) - 1  # exclude NUL
-        w = max(int(lens.max()) if len(lens) else 1, 1)
-        cols = np.arange(w, dtype=np.int64)
-        g = batch.qname_off[idx][:, None] + cols[None, :]
-        np.minimum(g, len(batch.data) - 1, out=g)
-        m = batch.data[g].copy()
-        m[cols[None, :] >= lens[:, None]] = 0
-        return m, w
-
-    def _pair_umis(self, batch, pl: np.ndarray, pr: np.ndarray) -> list:
+        Qname-vectorized unless MI tags are present (sampled probe; python
+        fallback then). Mate UMI mismatch is fatal (pair.cpp:196-216).
+        """
         prefix = self.opt.umi_prefix
+        sample = cidx[:: max(1, len(cidx) // 64)][:64]
+        has_mi = any(batch.get_str_tag(int(i), b"MI") is not None for i in sample)
+        self._umi_from_mi = has_mi
+        if not has_mi:
+            qlen = batch.l_read_name[cidx].astype(np.int64) - 1
+            start_all, len_all = umivec.umi_spans(qname_mat, qlen, prefix)
+            keys_all, _ = umivec.umi_keys(qname_mat, start_all, len_all)
+            rr_c = np.clip(rr, 0, None)
+            ll = len_all[rl]
+            lk = keys_all[rl]
+            rk = np.where(has_right, keys_all[rr_c], b"")
+            mism = has_right & (ll > 0) & (lk != rk)
+            if mism.any():
+                pi = int(np.nonzero(mism)[0][0])
+                a = umivec.umi_string(qname_mat, start_all, len_all, int(rl[pi]))
+                b = umivec.umi_string(qname_mat, start_all, len_all, int(rr[pi]))
+                raise ValueError(
+                    "The UMI of a read pair should be identical, "
+                    f"but we got {a} and {b}")
+            use_right = (ll == 0) & has_right
+            src_row = np.where(use_right, rr_c, rl)
+            return (start_all[src_row], len_all[src_row],
+                    np.where(use_right, rk, lk), qname_mat[src_row])
+        # MI fallback: python per pair
         from gencore_tpu.utils.umi import get_umi_from_qname
+        npair = len(rl)
         umis = []
-        for k in range(len(pl)):
-            li = int(pl[k])
+        for k in range(npair):
+            li = int(self.work.cidx[rl[k]])
             mi = batch.get_str_tag(li, b"MI")
             src = mi if mi is not None else batch.qname(li).decode("latin-1")
             u = get_umi_from_qname(src, prefix)
-            ri = int(pr[k])
-            if ri >= 0:
+            if has_right[k]:
+                ri = int(self.work.cidx[rr[k]])
                 mi_r = batch.get_str_tag(ri, b"MI")
                 src_r = mi_r if mi_r is not None else batch.qname(ri).decode("latin-1")
                 ur = get_umi_from_qname(src_r, prefix)
                 if u and ur != u:
                     raise ValueError(
-                        f"The UMI of a read pair should be identical, but we got {u} and {ur}")
+                        "The UMI of a read pair should be identical, "
+                        f"but we got {u} and {ur}")
                 if not u:
                     u = ur
             umis.append(u)
-        return umis
+        umax = max(max((len(u) for u in umis), default=1), 1)
+        mat = np.zeros((npair, umax), dtype=np.uint8)
+        lens = np.zeros(npair, dtype=np.int64)
+        for k, u in enumerate(umis):
+            b = u.encode("latin-1")
+            mat[k, :len(b)] = np.frombuffer(b, dtype=np.uint8)
+            lens[k] = len(b)
+        keys = np.ascontiguousarray(mat).view(f"S{umax}").ravel()
+        return np.zeros(npair, dtype=np.int64), lens, keys, mat
+
+    # ------------------------------------------------------------------
+    def _elect_vectorized(self, is_left, mem_pairs, g_start, g_sizes, g_single,
+                          pl, pr, rl, rr, ct, batch, jobs):
+        """Election for one side over all groups: vectorized fast path for
+        single-cigar-class groups, python fallback otherwise
+        (reference group.cpp:136-318)."""
+        G = len(g_sizes)
+        side_job = np.full(G, -1, dtype=np.int64)
+        if G == 0:
+            return side_job, np.zeros(0, dtype=np.int64)
+        side_read = (pl if is_left else pr)[mem_pairs]
+        present = side_read >= 0
+        srow = np.where(present, (rl if is_left else rr)[mem_pairs], 0)
+        cls = np.where(present, ct.class_id[srow], -1)
+        ncig = np.where(present, ct.n_cigar[srow], 0)
+        segs = g_start[:-1]
+        n_present = np.add.reduceat(present.astype(np.int64), segs)
+        cls_min = np.minimum.reduceat(np.where(present, cls, BIG), segs)
+        cls_max = np.maximum.reduceat(np.where(present, cls, -1), segs)
+        same_class = (cls_min == cls_max) & (n_present > 0)
+        has_cigar = np.maximum.reduceat(ncig, segs) > 0
+        if is_left:
+            aligned = np.ones(G, dtype=bool)
+        else:
+            rp = np.where(present,
+                          batch.pos[np.where(present, side_read, 0)].astype(np.int64), 0)
+            p_min = np.minimum.reduceat(np.where(present, rp, BIG), segs)
+            p_max = np.maximum.reduceat(np.where(present, rp, -1), segs)
+            aligned = p_min == p_max
+        fast = same_class & has_cigar & aligned & (n_present > 0) & ~g_single
+        ok = fast & ~((n_present < g_sizes * 0.4) & (g_sizes != 1))
+
+        ordv = np.arange(len(mem_pairs), dtype=np.int64) - np.repeat(segs, g_sizes)
+        first_present = np.minimum.reduceat(np.where(present, ordv, BIG), segs)
+
+        gidx_of_member = np.repeat(np.arange(G), g_sizes)
+        sel = present & ok[gidx_of_member]
+        flat_rows = srow[sel]
+        counts = np.add.reduceat(sel.astype(np.int64), segs)
+        flat_ptr = np.zeros(G + 1, dtype=np.int64)
+        np.cumsum(counts, out=flat_ptr[1:])
+
+        tmpl_member = segs + np.where(first_present == BIG, 0, first_present)
+        tmpl_member = np.clip(tmpl_member, 0, max(len(side_read) - 1, 0))
+        tmpl_read = side_read[tmpl_member]
+        tmpl_pair = mem_pairs[tmpl_member]
+        for gi in np.nonzero(ok)[0]:
+            tr = int(tmpl_read[gi])
+            jobs.append(_Job(group_id=int(gi), is_left_side=is_left,
+                             left_read_mode=True, template_read=tr,
+                             template_pair=int(tmpl_pair[gi]),
+                             job_len=int(batch.l_qseq[tr]),
+                             flat_start=int(flat_ptr[gi]), k=int(counts[gi])))
+            side_job[gi] = len(jobs) - 1
+
+        for gi in np.nonzero(~fast & (n_present > 0) & ~g_single)[0]:
+            lo, hi = int(g_start[gi]), int(g_start[gi + 1])
+            side_reads = [int(side_read[m]) for m in range(lo, hi)]
+            job = self._elect_side_python(int(gi), is_left, side_reads,
+                                          [int(mem_pairs[m]) for m in range(lo, hi)],
+                                          batch)
+            if job is not None:
+                jobs.append(job)
+                side_job[gi] = len(jobs) - 1
+        return side_job, flat_rows
 
     # ------------------------------------------------------------------
     def _cig(self, batch, read_idx: int):
@@ -374,35 +475,13 @@ class VectorEngine:
             self._ipo_cache[k] = v
         return v
 
-    def _elect_group(self, g: _Group, pl, pr, batch, jobs: list):
-        """Template election + job creation for both sides
-        (reference group.cpp:68-318)."""
+    def _elect_side_python(self, gid: int, is_left: bool, side_reads: list,
+                           pair_ids: list, batch):
+        """Full-fidelity election (reference group.cpp:136-318) for groups
+        with mixed cigars / unaligned right reads / SE no-cigar reads."""
         opt = self.opt
-        npair = len(g.pair_ids)
-        # single pair with no right: early return (group.cpp:73-77)
-        if npair == 1 and int(pr[g.pair_ids[0]]) < 0:
-            g.left_single = g.pair_ids[0]
-            return
+        npairs = len(side_reads)
 
-        for is_left in (True, False):
-            side_reads = []
-            for pi in g.pair_ids:
-                ri = int(pl[pi]) if is_left else int(pr[pi])
-                side_reads.append(ri if ri >= 0 else -1)
-
-            job = self._elect_side(g, is_left, side_reads, batch)
-            if job is not None:
-                jobs.append(job)
-                if is_left:
-                    g.left_job = len(jobs) - 1
-                else:
-                    g.right_job = len(jobs) - 1
-
-    def _elect_side(self, g: _Group, is_left: bool, side_reads: list, batch):
-        opt = self.opt
-        npairs = len(g.pair_ids)
-
-        # low-complexity skip (group.cpp:142-175)
         if npairs > opt.skip_low_complexity_cluster_threshold:
             cigars = set()
             first_read = -1
@@ -431,7 +510,6 @@ class VectorEngine:
             if left_aligned:
                 left_read_mode = True
 
-        # containment counts over cigar classes
         keys = []
         rrps = []
         for ri in side_reads:
@@ -484,7 +562,6 @@ class VectorEngine:
 
         tkey, tcig = self._cig(batch, template)
         members_reads = [template]
-        members_pairs = [g.pair_ids[most_id]]
         for j in range(npairs):
             if j == most_id or side_reads[j] < 0:
                 continue
@@ -493,15 +570,14 @@ class VectorEngine:
             # collection: template contained by member (group.cpp:309)
             if self._is_part_of(tkey, tcig, jkey, jcig, left_read_mode):
                 members_reads.append(rj)
-                members_pairs.append(g.pair_ids[j])
 
-        # lenDiff + aligner WAR (group.cpp:339-349)
         tlen_q = int(batch.l_qseq[template])
         len_diffs = []
         for rj in members_reads:
             d = int(batch.l_qseq[rj]) - tlen_q
             if d != 0:
                 jkey, jcig = self._cig(batch, rj)
+                # aligner WAR (group.cpp:339-349)
                 if int(batch.pos[rj]) == int(batch.pos[template]) and \
                         self._is_part_of(tkey, tcig, jkey, jcig, True):
                     d = 0
@@ -512,71 +588,62 @@ class VectorEngine:
             for rj in members_reads:
                 job_len = min(job_len, int(batch.l_qseq[rj]))
 
-        return _Job(group=g, is_left_side=is_left, left_read_mode=left_read_mode,
-                    template_pair=g.pair_ids[most_id], template_read=template,
-                    members_reads=members_reads, members_pairs=members_pairs,
-                    len_diffs=len_diffs, job_len=job_len)
+        return _Job(group_id=gid, is_left_side=is_left,
+                    left_read_mode=left_read_mode, template_read=template,
+                    template_pair=pair_ids[most_id], job_len=job_len,
+                    members_reads=members_reads, len_diffs=len_diffs,
+                    k=len(members_reads))
 
     # ------------------------------------------------------------------
-    def _score_pairs(self, batch, pl, pr, jobs: list, work):
-        """Overlap scoring for every pair in any group that fetches scores
-        (i.e. owns at least one successful side job) — reference semantics:
-        getLeftScore/getRightScore called for all pairs of the group
-        (group.cpp:272,300-304), computeScore mutates quals once per pair."""
-        need = set()
-        for job in jobs:
-            for pi in job.group.pair_ids:
-                need.add(pi)
-        score_pairs = sorted(need)
-        if not score_pairs:
+    def _score_pairs_vec(self, batch, pl, pr, rl, rr, has_right, ct,
+                         mem_pairs, g_start, g_sizes, side_jobs, work):
+        """Overlap scoring for every pair of any group owning >= 1 job
+        (reference fetches scores for all group pairs, group.cpp:272,300-304).
+        """
+        G = len(g_sizes)
+        if G == 0:
             return
-        L = work.L
-        comp = [pi for pi in score_pairs if int(pr[pi]) >= 0]
-        # incomplete pairs keep default score 6 and untouched quals
-        geoms = []
-        run = []
-        for pi in comp:
-            li, ri = int(pl[pi]), int(pr[pi])
-            _, lcig = self._cig(batch, li)
-            _, rcig = self._cig(batch, ri)
-            lmoff, lmlen = self._first_m(lcig)
-            rmoff, rmlen = self._first_m(rcig)
-            if lmlen <= 0 or rmlen <= 0:
-                continue  # stays default 6
-            pos_dis = int(batch.pos[ri]) - int(batch.pos[li])
-            if pos_dis >= 0:
-                ls, rs = lmoff + pos_dis, rmoff
-                cl = min(lmlen - pos_dis, rmlen)
-            else:
-                ls, rs = lmoff, rmoff - pos_dis
-                cl = min(lmlen, rmlen + pos_dis)
-            run.append((pi, li, ri))
-            geoms.append((ls, rs, cl))
-        if not run:
+        need_g = (side_jobs[True] >= 0) | (side_jobs[False] >= 0)
+        gidx_of_member = np.repeat(np.arange(G), g_sizes)
+        need_pair_mask = np.zeros(len(pl), dtype=bool)
+        need_pair_mask[mem_pairs[need_g[gidx_of_member]]] = True
+        sel = np.nonzero(need_pair_mask & has_right)[0]
+        if len(sel) == 0:
             return
-        P = len(run)
-        li_arr = np.array([r[1] for r in run])
-        ri_arr = np.array([r[2] for r in run])
-        lrow = work.row_of(li_arr)
-        rrow = work.row_of(ri_arr)
-        g = np.array(geoms, dtype=np.int32)
+        lrow = rl[sel]
+        rrow = rr[sel]
+        lmo, lml = ct.m_off[lrow], ct.m_len[lrow]
+        rmo, rml = ct.m_off[rrow], ct.m_len[rrow]
+        okg = (lml > 0) & (rml > 0)
+        if not okg.any():
+            return
+        lrow, rrow = lrow[okg], rrow[okg]
+        lmo, lml, rmo, rml = lmo[okg], lml[okg], rmo[okg], rml[okg]
+        sel = sel[okg]
+        pos_dis = (batch.pos[pr[sel]].astype(np.int64)
+                   - batch.pos[pl[sel]].astype(np.int64))
+        fwd = pos_dis >= 0
+        ls = np.where(fwd, lmo + pos_dis, lmo)
+        rs = np.where(fwd, rmo, rmo - pos_dis)
+        cl = np.where(fwd, np.minimum(lml - pos_dis, rml),
+                      np.minimum(lml, rml + pos_dis))
         o = self.opt
         ls_, rs_, nlq, nrq = kernels.overlap_score_kernel(
             work.seq[lrow], work.qual[lrow], work.seq[rrow], work.qual[rrow],
-            g[:, 0], g[:, 1], g[:, 2],
-            batch.l_qseq[li_arr].astype(np.int32), batch.l_qseq[ri_arr].astype(np.int32),
+            ls.astype(np.int32), rs.astype(np.int32), cl.astype(np.int32),
+            batch.l_qseq[pl[sel]].astype(np.int32),
+            batch.l_qseq[pr[sel]].astype(np.int32),
             hi=o.high_quality, mod=o.moderate_quality, lo=o.low_quality,
-            s_hi=o.score_not_overlapped_high_qual, s_mod=o.score_not_overlapped_moderate_qual,
-            s_lo=o.score_not_overlapped_low_qual, s_bad=o.score_not_overlapped_bad_qual)
-        ls_, rs_, nlq, nrq = map(np.asarray, (ls_, rs_, nlq, nrq))
-        work.score[lrow] = ls_.astype(np.int8)
-        work.score[rrow] = rs_.astype(np.int8)
-        work.qual[lrow] = nlq
-        work.qual[rrow] = nrq
+            s_hi=o.score_not_overlapped_high_qual,
+            s_mod=o.score_not_overlapped_moderate_qual,
+            s_lo=o.score_not_overlapped_low_qual,
+            s_bad=o.score_not_overlapped_bad_qual)
+        work.score[lrow] = np.asarray(ls_).astype(np.int8)
+        work.score[rrow] = np.asarray(rs_).astype(np.int8)
+        work.qual[lrow] = np.asarray(nlq)
+        work.qual[rrow] = np.asarray(nrq)
 
-    def _first_m(self, c: np.ndarray):
-        return cig.first_m_offset_len(c)
-
+    # ------------------------------------------------------------------
     def _ref_offsets(self, key: bytes, c: np.ndarray, length: int):
         k = (key, length)
         v = self._refoff_cache.get(k)
@@ -585,55 +652,121 @@ class VectorEngine:
             self._refoff_cache[k] = v
         return v
 
-    def _vote_jobs(self, jobs: list, batch, work):
+    def _refbase_batch(self, jobs_sub: list, batch) -> np.ndarray:
+        """Reference bases for jobs, batched per (cigar class, job_len):
+        vectorized contig gathers (reference group.cpp:362-367,430-439)."""
+        L = self.work.L
+        J = len(jobs_sub)
+        out = np.zeros((J, L), dtype=np.uint8)
+        if self._genome is None or J == 0:
+            return out
+        groups: dict = {}
+        for jj, job in enumerate(jobs_sub):
+            tr = job.template_read
+            if int(batch.isize[tr]) == 0 or int(batch.n_cigar[tr]) == 0 \
+                    or job.job_len <= 0:
+                continue
+            key = batch.data[batch.cigar_off[tr]:batch.seq_off[tr]].tobytes()
+            groups.setdefault((key, job.job_len), []).append(jj)
+        for (key, jl), jjs in groups.items():
+            c = np.frombuffer(key, dtype=np.uint32)
+            offs = self._ref_offsets(key, c, jl)
+            # span check uses getRefOffset(out, len-1)+1 (group.cpp:364)
+            reflen = int(offs[jl - 1]) + 1
+            trs = np.array([jobs_sub[jj].template_read for jj in jjs])
+            tids = np.clip(batch.tid[trs].astype(np.int64), 0,
+                           len(self._contig_len) - 1)
+            poss = batch.pos[trs].astype(np.int64)
+            clen = self._contig_len[tids]
+            avail = (clen > 0) & (poss + reflen < clen)
+            if not avail.any():
+                continue
+            base = self._contig_base[tids]
+            gidx = base[:, None] + poss[:, None] + offs[None, :]
+            np.clip(gidx, 0, max(len(self._genome) - 1, 0), out=gidx)
+            codes = _ASCII_TO_NT16[self._genome[gidx]]
+            codes[:, offs < 0] = 0
+            codes[~avail] = 0
+            rows = np.asarray(jjs)
+            out[rows[:, None], np.arange(jl)[None, :]] = codes
+        return out
+
+    def _vote_jobs(self, jobs: list, batch, work, flats, full_bins=True):
         if not jobs:
             return
         o = self.opt
         rnum, rden = kernels.ratio_fraction(o.score_percent_req)
         L = work.L
-        # bucket jobs by K
         buckets: dict = {}
         for ji, job in enumerate(jobs):
-            kb = _next_pow2(len(job.members_reads))
+            kb = _next_pow2(max(job.k, 1))
             buckets.setdefault(kb, []).append(ji)
 
         for kb, jlist in sorted(buckets.items()):
             J = len(jlist)
-            seq = np.zeros((J, kb, L), dtype=np.uint8)
-            qual = np.zeros((J, kb, L), dtype=np.uint8)
-            score = np.zeros((J, kb, L), dtype=np.int32)
+            rows = np.zeros((J, kb), dtype=np.int64)
             valid = np.zeros((J, kb), dtype=bool)
-            pos_valid = np.zeros((J, L), dtype=bool)
-            refbase = np.zeros((J, L), dtype=np.uint8)
+            jl_arr = np.array([jobs[ji].job_len for ji in jlist])
+            pos_valid = np.arange(L)[None, :] < jl_arr[:, None]
+            shift_jobs = []
+            fast_jj = []
+            fast_k = []
+            fast_fs = []
+            fast_side = []
             for jj, ji in enumerate(jlist):
                 job = jobs[ji]
-                jl = job.job_len
-                pos_valid[jj, :jl] = True
-                for k, (rj, d) in enumerate(zip(job.members_reads, job.len_diffs)):
-                    row = work.row_of_one(rj)
-                    shift = d if not job.left_read_mode else 0
-                    # gather member positions i -> read position i+shift
-                    if shift == 0:
-                        seq[jj, k] = work.seq[row]
-                        qual[jj, k] = work.qual[row]
-                        score[jj, k] = work.score[row]
-                    else:
-                        end = min(L, work.L - shift) if shift >= 0 else L
-                        if shift >= 0:
-                            seq[jj, k, :work.L - shift] = work.seq[row, shift:]
-                            qual[jj, k, :work.L - shift] = work.qual[row, shift:]
-                            score[jj, k, :work.L - shift] = work.score[row, shift:]
-                        else:
-                            seq[jj, k, -shift:] = work.seq[row, :work.L + shift]
-                            qual[jj, k, -shift:] = work.qual[row, :work.L + shift]
-                            score[jj, k, -shift:] = work.score[row, :work.L + shift]
-                    valid[jj, k] = True
-                # reference gather (group.cpp:362-367,430-439)
-                refbase[jj] = self._job_refbase(job, batch)
+                if job.flat_start >= 0:
+                    fast_jj.append(jj)
+                    fast_k.append(job.k)
+                    fast_fs.append(job.flat_start)
+                    fast_side.append(job.is_left_side)
+                else:
+                    shift_jobs.append((jj, ji))
+                    for k, rj in enumerate(job.members_reads):
+                        rows[jj, k] = work.row_of_one(rj)
+                        valid[jj, k] = True
+            if fast_jj:
+                jj_arr = np.asarray(fast_jj)
+                k_arr = np.asarray(fast_k)
+                fs_arr = np.asarray(fast_fs)
+                side_arr = np.asarray(fast_side)
+                tot = int(k_arr.sum())
+                jrep = np.repeat(jj_arr, k_arr)
+                krep = np.arange(tot) - np.repeat(
+                    np.cumsum(np.append(0, k_arr[:-1])), k_arr)
+                src = np.repeat(fs_arr, k_arr) + krep
+                fl = flats[True]
+                fr = flats[False]
+                lr = np.repeat(side_arr, k_arr)
+                vals = np.where(
+                    lr, fl[np.clip(src, 0, max(len(fl) - 1, 0))],
+                    fr[np.clip(src, 0, max(len(fr) - 1, 0))])
+                rows[jrep, krep] = vals
+                valid[jrep, krep] = True
+
+            seq = work.seq[rows]
+            qual = work.qual[rows]
+            score = work.score[rows].astype(np.int32)
+            for jj, ji in shift_jobs:
+                job = jobs[ji]
+                if job.left_read_mode:
+                    continue
+                for k, d in enumerate(job.len_diffs):
+                    if d > 0:
+                        seq[jj, k, :L - d] = seq[jj, k, d:]
+                        qual[jj, k, :L - d] = qual[jj, k, d:]
+                        score[jj, k, :L - d] = score[jj, k, d:]
+                    elif d < 0:
+                        seq[jj, k, -d:] = seq[jj, k, :L + d]
+                        qual[jj, k, -d:] = qual[jj, k, :L + d]
+                        score[jj, k, -d:] = score[jj, k, :L + d]
+
+            refbase = self._refbase_batch([jobs[ji] for ji in jlist], batch)
             new_seq, new_qual, diff, minc = kernels.consensus_kernel(
                 seq, qual, score, valid, pos_valid, refbase,
                 hi=o.high_quality, mod=o.moderate_quality, lo=o.low_quality,
-                base_score_req=o.base_score_req, ratio_num=rnum, ratio_den=rden)
+                base_score_req=o.base_score_req, ratio_num=rnum, ratio_den=rden,
+                full_bins=full_bins)
             new_seq = np.asarray(new_seq)
             new_qual = np.asarray(new_qual)
             diff = np.asarray(diff)
@@ -645,112 +778,162 @@ class VectorEngine:
                 job.diff = int(diff[jj])
                 job.minc = int(minc[jj])
 
-    def _job_refbase(self, job: _Job, batch) -> np.ndarray:
-        """Per-position reference base (nt16 code, 0 = unavailable)."""
-        L = self.work.L
-        out = np.zeros(L, dtype=np.uint8)
-        template = job.template_read
-        if int(batch.isize[template]) == 0:
-            return out
-        tkey, tcig = self._cig(batch, template)
-        jl = job.job_len
-        if len(tcig) == 0 or jl <= 0:
-            return out
-        offs = self._ref_offsets(tkey, tcig, jl)
-        # reference uses getRefOffset(out, len-1)+1 as the span (group.cpp:364)
-        reflen = cig.ref_offset(tcig, jl - 1) + 1
-        contig = self.ref.get_contig(int(batch.tid[template]),
-                                     int(batch.pos[template]), reflen)
-        if contig is None:
-            return out
-        pos = int(batch.pos[template])
-        valid = offs >= 0
-        gather = np.clip(pos + offs, 0, len(contig) - 1)
-        chars = contig[gather]
-        codes = _ASCII_TO_NT16[chars]
-        codes[~valid] = 0
-        out[:jl] = codes
-        return out
-
     # ------------------------------------------------------------------
-    def _assemble_group(self, g: _Group, jobs, batch, pl, pr, umis, work) -> OPair:
-        """Build the merged OPair for a group (reference group.cpp:68-134)."""
-        from gencore_tpu.core.oracle import oread_from_batch
+    def _assemble_group(self, gi, pair_ids, is_single, cross_contig,
+                        side_jobs, jobs, batch, pl, pr, work, pair_umi_str) -> OPair:
+        """Merged OPair for one group (reference group.cpp:68-134)."""
         opt = self.opt
 
-        if g.left_single >= 0:
+        if is_single:
             pair = OPair(opt)
-            li = int(pl[g.left_single])
-            pair.set_left(oread_from_batch(batch, li))
-            # apply overlap-mutated quals? single-pair-no-right groups never
-            # compute scores (group.cpp:73-77 early return) — keep original.
+            pi = int(pair_ids[0])
+            pair.left = OutRead(batch, int(pl[pi]))
+            pair.umi = pair_umi_str(pi)
             return pair
 
-        left = self._job_output(g.left_job, jobs, batch, work)
-        right = self._job_output(g.right_job, jobs, batch, work)
+        lj = int(side_jobs[True][gi])
+        rj = int(side_jobs[False][gi])
+        left = self._job_output(lj, jobs, batch, work)
+        right = self._job_output(rj, jobs, batch, work)
 
         pair = OPair(opt)
-        pair.merge_reads = len(g.pair_ids)
+        pair.merge_reads = len(pair_ids)
 
-        if g.cross_contig:
-            # smallest (padded len, then bytes) left qname (group.cpp:80-99)
+        # UMI of the merged pair: the reference re-extracts from the merged
+        # left (else right) read after qname reconciliation (group.cpp:124-131,
+        # pair.cpp:192). With MI tags the source is the template's MI tag.
+        umi_src = (jobs[lj].template_pair if lj >= 0
+                   else (jobs[rj].template_pair if rj >= 0 else None))
+        if cross_contig:
             name_to_copy = None
             cur_len = 0
-            cur_template = -1
-            for pi in g.pair_ids:
+            cur_read = -1
+            cur_pair = None
+            for pi in pair_ids:
                 li = int(pl[pi])
                 if li < 0:
                     continue
                 qn = batch.qname(li)
                 plen = bamio.padded_qname_len(len(qn))
-                if name_to_copy is None:
-                    name_to_copy, cur_len, cur_template = qn, plen, li
-                elif plen < cur_len or (plen == cur_len and qn < name_to_copy):
-                    name_to_copy, cur_len, cur_template = qn, plen, li
+                if name_to_copy is None or plen < cur_len or \
+                        (plen == cur_len and qn < name_to_copy):
+                    name_to_copy, cur_len, cur_read, cur_pair = qn, plen, li, int(pi)
             if left is not None and name_to_copy is not None and \
-                    cur_template != (jobs[g.left_job].template_read if g.left_job >= 0 else -1):
-                left.qname = name_to_copy
+                    cur_read != (jobs[lj].template_read if lj >= 0 else -1):
+                left.qname_rec = cur_read
+                if not self._umi_from_mi:
+                    umi_src = cur_pair
         elif left is not None and right is not None:
             if left.padded_l_qname() <= right.padded_l_qname():
-                right.qname = left.qname
+                right.qname_rec = left.qname_rec
+                if not self._umi_from_mi:
+                    umi_src = jobs[lj].template_pair
             else:
-                left.qname = right.qname
+                left.qname_rec = right.qname_rec
+                if not self._umi_from_mi:
+                    umi_src = jobs[rj].template_pair
 
-        if left is not None:
-            pair.set_left(left)
-            pair.merge_left_diff = jobs[g.left_job].diff if g.left_job >= 0 else 0
-        if right is not None:
-            pair.set_right(right)
-            pair.merge_right_diff = jobs[g.right_job].diff if g.right_job >= 0 else 0
+        pair.left = left
+        pair.right = right
+        if lj >= 0:
+            pair.merge_left_diff = jobs[lj].diff
+        if rj >= 0:
+            pair.merge_right_diff = jobs[rj].diff
+        pair.umi = pair_umi_str(int(umi_src)) if umi_src is not None else ""
         return pair
 
     def _job_output(self, job_id: int, jobs, batch, work):
         if job_id < 0:
             return None
-        from gencore_tpu.core.oracle import oread_from_batch
         job = jobs[job_id]
-        r = oread_from_batch(batch, job.template_read)
-        n = r.l_qseq
-        # voting covered positions [0, job_len); beyond that the template's
-        # post-overlap-scoring qual persists (quals mutated in computeScore)
-        row = work.row_of_one(job.template_read)
-        r.seq = work.seq[row, :n].copy()
-        r.qual = work.qual[row, :n].copy()
+        tr = job.template_read
+        row = work.row_of_one(tr)
+        n = int(batch.l_qseq[tr])
+        seq = work.seq[row, :n].copy()
+        qual = work.qual[row, :n].copy()
         jl = job.job_len
-        r.seq[:jl] = job.new_seq[:jl]
-        r.qual[:jl] = job.new_qual[:jl]
+        seq[:jl] = job.new_seq[:jl]
+        qual[:jl] = job.new_qual[:jl]
+        r = OutRead(batch, tr, seq=seq, qual=qual)
         if job.minc != 0 and job.minc <= 5:
-            new_nm = r.nm_val + job.minc
-            if r.nm_typ == "C" and 0 <= new_nm <= 255:
+            new_nm = int(self._nm_vals[tr]) + job.minc
+            if self._nm_patch[tr] >= 0 and 0 <= new_nm <= 255:
                 r.nm_new = new_nm
         return r
 
+    # ------------------------------------------------------------------
+    def _finalize(self, out_records: list) -> OutputTable:
+        nm_vals = getattr(self, "_nm_vals", np.zeros(self.batchref.n, dtype=np.int64))
+        nm_patch = getattr(self, "_nm_patch", np.full(self.batchref.n, -1, dtype=np.int64))
+        table = OutputTable(self.batchref, out_records, nm_vals, nm_patch)
+        if table.n:
+            self.post_stats.add_reads_vectorized(*table.stats_arrays())
+        return table
 
-_ASCII_TO_NT16 = np.zeros(256, dtype=np.uint8)
-_ASCII_TO_NT16[ord("A")] = 1
-_ASCII_TO_NT16[ord("C")] = 2
-_ASCII_TO_NT16[ord("G")] = 4
-_ASCII_TO_NT16[ord("T")] = 8
+    def _emit_raw(self, batch, i: int, out_records: list):
+        r = OutRead(batch, i)
+        self._serial += 1
+        r.serial = self._serial
+        out_records.append(r)
+
+    def _emit_pair(self, pair: OPair, out_records: list):
+        self.post_stats.add_molecule(1, pair.left is not None and pair.right is not None)
+        for r in (pair.left, pair.right):
+            if r is not None:
+                self._serial += 1
+                r.serial = self._serial
+                out_records.append(r)
+
+    # ------------------------------------------------------------------
+    def _extract_nm(self, batch, limit: int):
+        """Vectorized NM extraction: probe the first record's tag layout and
+        verify it across records; per-record fallback for mismatches.
+
+        Returns (values int64[n], patch_off int64[n]) where patch_off is the
+        payload offset of the writable 1-byte 'C' NM value (-1 if the tag is
+        absent or not 'C'-typed; reference patches only then, group.cpp:569).
+        """
+        n = batch.n
+        out = np.zeros(n, dtype=np.int64)
+        patch = np.full(n, -1, dtype=np.int64)
+        if n == 0:
+            return out, patch
+        tag = b"NM"
+        off0, typ0 = batch.find_tag(0, tag)
+        done = np.zeros(n, dtype=bool)
+        if off0 is not None and typ0 in "Cc":
+            delta = off0 - int(batch.aux_off[0])
+            cand = batch.aux_off + delta
+            ok = cand + 1 <= batch.end
+            probe = cand - 3
+            ok &= (batch.data[np.clip(probe, 0, len(batch.data) - 1)] == tag[0])
+            ok &= (batch.data[np.clip(probe + 1, 0, len(batch.data) - 1)] == tag[1])
+            ok &= (batch.data[np.clip(probe + 2, 0, len(batch.data) - 1)] == ord(typ0))
+            vals = batch.data[np.clip(cand, 0, len(batch.data) - 1)].astype(np.int64)
+            if typ0 == "c":
+                vals = np.where(vals > 127, vals - 256, vals)
+            out[ok] = vals[ok]
+            if typ0 == "C":
+                patch[ok] = cand[ok]
+            done = ok
+        for i in np.nonzero(~done)[0]:
+            voff, typ = batch.find_tag(int(i), tag)
+            if voff is None:
+                continue
+            out[i] = batch.get_int_tag(int(i), tag, 0)
+            if typ == "C":
+                patch[i] = voff
+        return out, patch
+
+    def _qname_matrix(self, batch, idx: np.ndarray):
+        lens = batch.l_read_name[idx].astype(np.int64) - 1
+        w = max(int(lens.max()) if len(lens) else 1, 1)
+        cols = np.arange(w, dtype=np.int64)
+        g = batch.qname_off[idx][:, None] + cols[None, :]
+        np.minimum(g, len(batch.data) - 1, out=g)
+        m = batch.data[g].copy()
+        m[cols[None, :] >= lens[:, None]] = 0
+        return m, w
 
 
 class _WorkArrays:

@@ -361,6 +361,10 @@ class BamWriter:
     def write_record(self, body: bytes):
         self._chunks.append(struct.pack("<i", len(body)) + body)
 
+    def write_table(self, table):
+        """Append a core.output.OutputTable's prebuilt payload."""
+        self._chunks.append(table.build_payload().tobytes())
+
     def close(self):
         from gencore_tpu.io import native
         payload = b"".join(self._chunks)

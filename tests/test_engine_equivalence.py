@@ -41,10 +41,16 @@ def run_both(sb: SyntheticBam, tmp_path, opt_kwargs=None, use_fasta=True):
     return (oeng, oout), (veng, vout)
 
 
+def _enc_list(x):
+    if hasattr(x, "encoded_records"):
+        return sorted(x.encoded_records())
+    return sorted(r.encode() for r in x)
+
+
 def assert_equivalent(o, v):
     (oeng, oout), (veng, vout) = o, v
-    o_enc = sorted(r.encode() for r in oout)
-    v_enc = sorted(r.encode() for r in vout)
+    o_enc = _enc_list(oout)
+    v_enc = _enc_list(vout)
     assert len(o_enc) == len(v_enc), f"record count {len(o_enc)} vs {len(v_enc)}"
     for i, (a, b) in enumerate(zip(o_enc, v_enc)):
         assert a == b, f"record {i} differs"
