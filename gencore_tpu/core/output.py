@@ -125,6 +125,157 @@ class OutputTable:
     def build_payload(self) -> np.ndarray:
         if self._payload is not None:
             return self._payload
+        from gencore_tpu.io import native
+        if native.get_lib() is not None and self.batch.data.flags.c_contiguous:
+            out = self._build_payload_native(native)
+            if out is not None:
+                return out
+        return self._build_payload_numpy()
+
+    def _geometry(self):
+        b = self.batch
+        n = self.n
+        rec = self.rec
+        l_qseq = b.l_qseq[rec].astype(np.int64)
+        n_cigar = b.n_cigar[rec].astype(np.int64)
+        seqbytes = (l_qseq + 1) >> 1
+        aux_len = b.end[rec] - b.aux_off[rec]
+        qrec = np.array([e.qname_rec for e in self.entries], dtype=np.int64)
+        qname_len = b.l_read_name[qrec].astype(np.int64)
+        has_fr = np.array([e.fr_tag is not None for e in self.entries])
+        has_rr = np.array([e.rr_tag is not None for e in self.entries])
+        tag_len = has_fr * 4 + has_rr * 4
+        body_len = 32 + qname_len + 4 * n_cigar + seqbytes + l_qseq + aux_len + tag_len
+        doff = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(body_len + 4, out=doff[1:])
+        return (rec, l_qseq, n_cigar, seqbytes, aux_len, qrec, qname_len,
+                has_fr, has_rr, tag_len, body_len, doff)
+
+    def _build_payload_native(self, native) -> np.ndarray:
+        """Fast path: whole-body memcpy per record + targeted overwrites.
+        Layout-shifting records (qname length changed) fall back per record.
+        """
+        b = self.batch
+        n = self.n
+        (rec, l_qseq, n_cigar, seqbytes, aux_len, qrec, qname_len,
+         has_fr, has_rr, tag_len, body_len, doff) = self._geometry()
+        src = b.data
+        orig_off = b.off[rec]
+        orig_body_len = b.end[rec] - orig_off
+        orig_qname_len = b.l_read_name[rec].astype(np.int64)
+        shifted = qname_len != orig_qname_len
+
+        total = int(doff[-1])
+        out = np.zeros(total, dtype=np.uint8)
+        self._doff = doff
+        body = doff[:-1] + 4
+
+        # block_size prefixes
+        bs = body_len
+        for k in range(4):
+            out[doff[:-1] + k] = ((bs >> (8 * k)) & 0xFF).astype(np.uint8)
+
+        un = np.nonzero(~shifted)[0]
+        native.gather_slices(src, orig_off[un], orig_body_len[un], out, body[un])
+
+        # qname overwrite where a same-length foreign qname was copied in
+        qswap = (~shifted) & (qrec != rec)
+        if qswap.any():
+            sel = np.nonzero(qswap)[0]
+            native.gather_slices(src, b.qname_off[qrec[sel]], qname_len[sel],
+                                 out, body[sel] + 32)
+
+        # edited seq/qual overwrites
+        cg_dst = body + 32 + qname_len
+        seq_dst = cg_dst + 4 * n_cigar
+        qual_dst = seq_dst + seqbytes
+        edited = np.array([e._seq is not None for e in self.entries])
+        esel = np.nonzero(edited & ~shifted)[0]
+        if len(esel):
+            lmax = int(l_qseq[esel].max())
+            bmax = (lmax + 1) // 2
+            m = np.zeros((len(esel), bmax * 2), dtype=np.uint8)
+            q = np.zeros((len(esel), lmax), dtype=np.uint8)
+            for row, ei in enumerate(esel):
+                e = self.entries[ei]
+                m[row, :len(e._seq)] = e._seq
+                q[row, :len(e._qual)] = e._qual
+            native.pack_seq_rows(m, l_qseq[esel], out, seq_dst[esel])
+            native.gather_slices(q.reshape(-1),
+                                 np.arange(len(esel), dtype=np.int64) * lmax,
+                                 l_qseq[esel], out, qual_dst[esel])
+
+        # NM byte patches
+        aux_dst = qual_dst + l_qseq
+        nm_new = np.array([(-1 if e.nm_new is None else e.nm_new)
+                           for e in self.entries], dtype=np.int64)
+        patch = (nm_new >= 0) & (self.nm_patch_off[rec] >= 0) & ~shifted
+        if patch.any():
+            sel = np.nonzero(patch)[0]
+            delta = self.nm_patch_off[rec[sel]] - b.aux_off[rec[sel]]
+            out[aux_dst[sel] + delta] = (nm_new[sel] & 0xFF).astype(np.uint8)
+
+        # FR / RR tags
+        tag_dst = aux_dst + aux_len
+        self._write_tags(out, tag_dst, has_fr & ~shifted, has_rr & ~shifted)
+
+        # rare layout-shifting records: per-record assembly
+        for i in np.nonzero(shifted)[0]:
+            self._assemble_one(out, int(doff[i]), int(i))
+
+        self._payload = out
+        return out
+
+    def _write_tags(self, out, tag_dst, has_fr, has_rr):
+        if has_fr.any():
+            sel = np.nonzero(has_fr)[0]
+            vals = np.array([self.entries[i].fr_tag for i in sel], dtype=np.int64)
+            out[tag_dst[sel]] = ord("F")
+            out[tag_dst[sel] + 1] = ord("R")
+            out[tag_dst[sel] + 2] = ord("C")
+            out[tag_dst[sel] + 3] = (vals & 0xFF).astype(np.uint8)
+        if has_rr.any():
+            sel = np.nonzero(has_rr)[0]
+            fr_here = np.array([self.entries[i].fr_tag is not None for i in sel])
+            base = tag_dst[sel] + np.where(fr_here, 4, 0)
+            vals = np.array([self.entries[i].rr_tag for i in sel], dtype=np.int64)
+            out[base] = ord("R")
+            out[base + 1] = ord("R")
+            out[base + 2] = ord("C")
+            out[base + 3] = (vals & 0xFF).astype(np.uint8)
+
+    def _assemble_one(self, out, doff_i: int, i: int):
+        """Single-record assembly (layout-shifted records)."""
+        import struct
+        b = self.batch
+        e = self.entries[i]
+        rec = e.rec
+        qname = b.data[b.qname_off[e.qname_rec]:
+                       b.qname_off[e.qname_rec] + b.l_read_name[e.qname_rec]].tobytes()
+        fixed = bytearray(b.data[b.off[rec]:b.off[rec] + 32].tobytes())
+        fixed[8] = len(qname)
+        cigar = b.data[b.cigar_off[rec]:b.seq_off[rec]].tobytes()
+        l = int(b.l_qseq[rec])
+        if e._seq is not None:
+            from gencore_tpu.io.bam import pack_seq
+            seqb = pack_seq(e._seq).tobytes()
+            qualb = np.asarray(e._qual, dtype=np.uint8).tobytes()
+        else:
+            seqb = b.data[b.seq_off[rec]:b.qual_off[rec]].tobytes()
+            qualb = b.data[b.qual_off[rec]:b.aux_off[rec]].tobytes()
+        aux = bytearray(b.data[b.aux_off[rec]:b.end[rec]].tobytes())
+        if e.nm_new is not None and self.nm_patch_off[rec] >= 0:
+            aux[int(self.nm_patch_off[rec] - b.aux_off[rec])] = e.nm_new & 0xFF
+        tags = b""
+        if e.fr_tag is not None:
+            tags += b"FRC" + bytes([e.fr_tag & 0xFF])
+        if e.rr_tag is not None:
+            tags += b"RRC" + bytes([e.rr_tag & 0xFF])
+        bodyb = bytes(fixed) + qname + cigar + seqb + qualb + bytes(aux) + tags
+        blob = struct.pack("<i", len(bodyb)) + bodyb
+        out[doff_i:doff_i + len(blob)] = np.frombuffer(blob, dtype=np.uint8)
+
+    def _build_payload_numpy(self) -> np.ndarray:
         b = self.batch
         n = self.n
         rec = self.rec

@@ -108,7 +108,8 @@ class VectorEngine:
         self._umi_from_mi = False
 
     # ------------------------------------------------------------------
-    def run(self, batch: bamio.RecordBatch) -> list:
+    def run(self, batch: bamio.RecordBatch, *, checkpoint=None,
+            count_pre_reads: bool = True):
         opt = self.opt
         self.batchref = batch
         n = batch.n
@@ -141,9 +142,10 @@ class VectorEngine:
         nm, nm_patch = self._extract_nm(batch, limit)
         self._nm_vals = nm
         self._nm_patch = nm_patch
-        self.pre_stats.add_reads_vectorized(tid[:limit], pos[:limit],
-                                            batch.l_qseq[:limit].astype(np.int64),
-                                            nm[:limit])
+        if count_pre_reads:
+            self.pre_stats.add_reads_vectorized(tid[:limit], pos[:limit],
+                                                batch.l_qseq[:limit].astype(np.int64),
+                                                nm[:limit])
         proc = limit if limit == n else limit - 1
 
         mapped = (tid[:proc] >= 0) & (pos[:proc] >= 0)
@@ -181,11 +183,15 @@ class VectorEngine:
             return self._finalize(out_records)
 
         # tick checkpoints (gencore.cpp:319-389): the last one decides
-        # watermark-flushed vs EOF-finished threshold (quirk gencore.cpp:409)
-        last_ck_tid, last_ck_pos = -1, -1
-        if nclust >= TICK:
-            ck = cidx[TICK - 1::TICK][-1]
-            last_ck_tid, last_ck_pos = int(tid[ck]), int(pos[ck])
+        # watermark-flushed vs EOF-finished threshold (quirk gencore.cpp:409).
+        # A sharded run injects the globally computed checkpoint.
+        if checkpoint is not None:
+            last_ck_tid, last_ck_pos = checkpoint
+        else:
+            last_ck_tid, last_ck_pos = -1, -1
+            if nclust >= TICK:
+                ck = cidx[TICK - 1::TICK][-1]
+                last_ck_tid, last_ck_pos = int(tid[ck]), int(pos[ck])
 
         qname_mat, qname_w = self._qname_matrix(batch, cidx)
         qname_keys = qname_mat.view(f"S{qname_w}").ravel()

@@ -165,8 +165,14 @@ class RecordBatch:
 
     def seq_matrix(self, idx: np.ndarray, max_len: int) -> np.ndarray:
         """Gather unpacked seq codes for records idx into [len(idx), max_len]
-        (0-padded). Vectorized across records."""
+        (0-padded). Native threaded unpack when available."""
         idx = np.asarray(idx)
+        from gencore_tpu.io import native
+        if native.get_lib() is not None and self.data.flags.c_contiguous:
+            out = native.unpack_seq_rows(self.data, self.seq_off[idx],
+                                         self.l_qseq[idx], max_len)
+            if out is not None:
+                return out
         k = len(idx)
         nbytes = (max_len + 1) // 2
         cols = np.arange(nbytes, dtype=np.int64)
@@ -185,6 +191,12 @@ class RecordBatch:
 
     def qual_matrix(self, idx: np.ndarray, max_len: int) -> np.ndarray:
         idx = np.asarray(idx)
+        from gencore_tpu.io import native
+        if native.get_lib() is not None and self.data.flags.c_contiguous:
+            out = native.copy_rows(self.data, self.qual_off[idx],
+                                   self.l_qseq[idx], max_len)
+            if out is not None:
+                return out
         cols = np.arange(max_len, dtype=np.int64)
         gidx = self.qual_off[idx][:, None] + cols[None, :]
         np.minimum(gidx, len(self.data) - 1, out=gidx)

@@ -59,6 +59,22 @@ def get_lib():
     lib.gc_assemble.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                 ctypes.c_void_p, ctypes.c_int64,
                                 ctypes.c_void_p, ctypes.c_void_p]
+    lib.gc_gather_slices.restype = None
+    lib.gc_gather_slices.argtypes = [ctypes.c_void_p] * 2 + [ctypes.c_void_p,
+                                     ctypes.c_int64, ctypes.c_void_p,
+                                     ctypes.c_void_p, ctypes.c_int]
+    lib.gc_unpack_seq_rows.restype = None
+    lib.gc_unpack_seq_rows.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                       ctypes.c_void_p, ctypes.c_int64,
+                                       ctypes.c_void_p, ctypes.c_int64,
+                                       ctypes.c_int]
+    lib.gc_copy_rows.restype = None
+    lib.gc_copy_rows.argtypes = lib.gc_unpack_seq_rows.argtypes
+    lib.gc_pack_seq_rows.restype = None
+    lib.gc_pack_seq_rows.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                     ctypes.c_void_p, ctypes.c_int64,
+                                     ctypes.c_void_p, ctypes.c_void_p,
+                                     ctypes.c_int]
     lib.gc_free.restype = None
     lib.gc_free.argtypes = [ctypes.c_void_p]
     _lib = lib
@@ -123,4 +139,58 @@ def assemble(src: np.ndarray, src_off: np.ndarray, src_len: np.ndarray,
         np.ascontiguousarray(src_len, dtype=np.int64).ctypes.data,
         len(src_off), dst.ctypes.data,
         np.ascontiguousarray(dst_off, dtype=np.int64).ctypes.data)
+    return True
+
+
+def _c64(a):
+    return np.ascontiguousarray(a, dtype=np.int64)
+
+
+def _c32(a):
+    return np.ascontiguousarray(a, dtype=np.int32)
+
+
+def gather_slices(src: np.ndarray, src_off, src_len, dst: np.ndarray, dst_off) -> bool:
+    lib = get_lib()
+    if lib is None:
+        return False
+    so, sl, do = _c64(src_off), _c64(src_len), _c64(dst_off)
+    lib.gc_gather_slices(np.ascontiguousarray(src, dtype=np.uint8).ctypes.data,
+                         so.ctypes.data, sl.ctypes.data, len(so),
+                         dst.ctypes.data, do.ctypes.data, 0)
+    return True
+
+
+def unpack_seq_rows(src: np.ndarray, src_off, lens, L: int):
+    lib = get_lib()
+    if lib is None:
+        return None
+    so, ln = _c64(src_off), _c32(lens)
+    out = np.empty((len(so), L), dtype=np.uint8)
+    lib.gc_unpack_seq_rows(np.ascontiguousarray(src, dtype=np.uint8).ctypes.data,
+                           so.ctypes.data, ln.ctypes.data, len(so),
+                           out.ctypes.data, L, 0)
+    return out
+
+
+def copy_rows(src: np.ndarray, src_off, lens, L: int):
+    lib = get_lib()
+    if lib is None:
+        return None
+    so, ln = _c64(src_off), _c32(lens)
+    out = np.empty((len(so), L), dtype=np.uint8)
+    lib.gc_copy_rows(np.ascontiguousarray(src, dtype=np.uint8).ctypes.data,
+                     so.ctypes.data, ln.ctypes.data, len(so),
+                     out.ctypes.data, L, 0)
+    return out
+
+
+def pack_seq_rows(rows: np.ndarray, lens, dst: np.ndarray, dst_off) -> bool:
+    lib = get_lib()
+    if lib is None:
+        return False
+    rows = np.ascontiguousarray(rows, dtype=np.uint8)
+    ln, do = _c32(lens), _c64(dst_off)
+    lib.gc_pack_seq_rows(rows.ctypes.data, rows.shape[1], ln.ctypes.data,
+                         len(do), dst.ctypes.data, do.ctypes.data, 0)
     return True

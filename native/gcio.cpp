@@ -238,6 +238,118 @@ void gc_assemble(const uint8_t* src, const int64_t* src_off,
   }
 }
 
+// Copy variable-length slices src[src_off[i] : +src_len[i]] to
+// dst[dst_off[i]] (no block_size prefix; threaded).
+void gc_gather_slices(const uint8_t* src, const int64_t* src_off,
+                      const int64_t* src_len, int64_t n, uint8_t* dst,
+                      const int64_t* dst_off, int n_threads) {
+  int nt = hw_threads(n_threads);
+  std::atomic<int64_t> next(0);
+  const int64_t kChunk = 4096;
+  auto worker = [&]() {
+    for (;;) {
+      int64_t lo = next.fetch_add(kChunk);
+      if (lo >= n) break;
+      int64_t hi = std::min(lo + kChunk, n);
+      for (int64_t i = lo; i < hi; ++i)
+        memcpy(dst + dst_off[i], src + src_off[i], src_len[i]);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < nt; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& t : threads) t.join();
+}
+
+// Unpack 4-bit BAM seq codes for n records into a dense [n, L] row matrix
+// (0-padded); src_off points at each record's packed seq bytes.
+void gc_unpack_seq_rows(const uint8_t* src, const int64_t* src_off,
+                        const int32_t* lens, int64_t n, uint8_t* out,
+                        int64_t L, int n_threads) {
+  int nt = hw_threads(n_threads);
+  std::atomic<int64_t> next(0);
+  const int64_t kChunk = 1024;
+  auto worker = [&]() {
+    for (;;) {
+      int64_t lo = next.fetch_add(kChunk);
+      if (lo >= n) break;
+      int64_t hi = std::min(lo + kChunk, n);
+      for (int64_t i = lo; i < hi; ++i) {
+        const uint8_t* p = src + src_off[i];
+        uint8_t* row = out + i * L;
+        int32_t l = lens[i];
+        if (l > L) l = L;
+        int32_t j = 0;
+        for (; j + 1 < l; j += 2) {
+          uint8_t b = p[j >> 1];
+          row[j] = b >> 4;
+          row[j + 1] = b & 0xF;
+        }
+        if (j < l) row[j] = p[j >> 1] >> 4;
+        if (l < L) memset(row + l, 0, L - l);
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < nt; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& t : threads) t.join();
+}
+
+// Copy per-record byte runs (e.g. quals) into a dense [n, L] row matrix.
+void gc_copy_rows(const uint8_t* src, const int64_t* src_off,
+                  const int32_t* lens, int64_t n, uint8_t* out, int64_t L,
+                  int n_threads) {
+  int nt = hw_threads(n_threads);
+  std::atomic<int64_t> next(0);
+  const int64_t kChunk = 1024;
+  auto worker = [&]() {
+    for (;;) {
+      int64_t lo = next.fetch_add(kChunk);
+      if (lo >= n) break;
+      int64_t hi = std::min(lo + kChunk, n);
+      for (int64_t i = lo; i < hi; ++i) {
+        int32_t l = lens[i];
+        if (l > L) l = L;
+        memcpy(out + i * L, src + src_off[i], l);
+        if (l < L) memset(out + i * L + l, 0, L - l);
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < nt; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& t : threads) t.join();
+}
+
+// Pack dense [n, L] code rows back to 4-bit ragged slices at dst_off.
+void gc_pack_seq_rows(const uint8_t* rows, int64_t L, const int32_t* lens,
+                      int64_t n, uint8_t* dst, const int64_t* dst_off,
+                      int n_threads) {
+  int nt = hw_threads(n_threads);
+  std::atomic<int64_t> next(0);
+  const int64_t kChunk = 1024;
+  auto worker = [&]() {
+    for (;;) {
+      int64_t lo = next.fetch_add(kChunk);
+      if (lo >= n) break;
+      int64_t hi = std::min(lo + kChunk, n);
+      for (int64_t i = lo; i < hi; ++i) {
+        const uint8_t* row = rows + i * L;
+        uint8_t* p = dst + dst_off[i];
+        int32_t l = lens[i];
+        int32_t j = 0;
+        for (; j + 1 < l; j += 2) p[j >> 1] = (row[j] << 4) | row[j + 1];
+        if (j < l) p[j >> 1] = row[j] << 4;
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < nt; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& t : threads) t.join();
+}
+
 void gc_free(void* p) { free(p); }
 
 }  // extern "C"

@@ -159,3 +159,24 @@ def test_equivalence_tick_flush(tmp_path):
         sb.add_pair(0, pos1, pos1 + 120, umi=str(rng.choice(["AAAA", "AAAT", "CCCC"])))
     o, v = run_both(sb, tmp_path)
     assert_equivalent(o, v)
+
+
+def test_equivalence_variable_qname_lengths(tmp_path):
+    """Qname reconciliation picks the shorter name (padded-length compare,
+    group.cpp:114-123) — exercises the layout-shifting output path."""
+    sb = SyntheticBam(seed=40, contig_len=100_000)
+    rng = np.random.default_rng(41)
+    orig = sb._qname
+
+    def varname(umi):
+        self_serial = sb._serial
+        extra = "X" * int(rng.integers(0, 12))
+        return orig(umi) + extra
+    sb._qname = varname
+    for k in range(30):
+        pos1 = 1000 + 211 * k
+        for _ in range(int(rng.choice([1, 2, 3]))):
+            sb.add_pair(0, pos1, pos1 + 140, read_len=100,
+                        n_errors=int(rng.integers(0, 2)))
+    o, v = run_both(sb, tmp_path)
+    assert_equivalent(o, v)
