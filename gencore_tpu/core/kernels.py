@@ -54,21 +54,11 @@ def _qual2score(q, hi, mod, lo, s_hi, s_mod, s_lo, s_bad):
                                jnp.where(q >= lo, s_lo, s_bad)))
 
 
-@functools.partial(jax.jit, static_argnames=("hi", "mod", "lo", "s_hi", "s_mod", "s_lo", "s_bad"))
-def overlap_score_kernel(lseq, lqual, rseq, rqual, left_start, right_start,
-                         cmp_len, llen, rlen, *, hi, mod, lo, s_hi, s_mod, s_lo, s_bad):
-    """Vectorized Pair::computeScore.
-
-    Args (P pairs, L max read len):
-      lseq/rseq  uint8[P, L]  nt16 base codes
-      lqual/rqual uint8[P, L]
-      left_start/right_start/cmp_len int32[P]  overlap geometry
-        (from the first M segments + posDis, pair.cpp:103-119)
-      llen/rlen int32[P]
-    Returns (lscore, rscore, new_lqual, new_rqual) — scores int32[P, L],
-    quals uint8[P, L] with the reference's overlap-mismatch rewrite applied
-    (pair.cpp:155-167).
-    """
+def _overlap_core(lseq, lqual, rseq, rqual, left_start, right_start,
+                  cmp_len, llen, rlen, hi, mod, lo, s_hi, s_mod,
+                  s_lo, s_bad):
+    """Traced overlap-scoring core shared by overlap_score_kernel and
+    score_scatter_kernel. See overlap_score_kernel docstring."""
     P, L = lseq.shape
     j = jnp.arange(L, dtype=I32)[None, :]
     ls = left_start[:, None]
@@ -117,35 +107,36 @@ def overlap_score_kernel(lseq, lqual, rseq, rqual, left_start, right_start,
     return lscore.astype(I32), rscore.astype(I32), new_lqual, new_rqual
 
 
+@functools.partial(jax.jit, static_argnames=("hi", "mod", "lo", "s_hi", "s_mod", "s_lo", "s_bad"))
+def overlap_score_kernel(lseq, lqual, rseq, rqual, left_start, right_start,
+                         cmp_len, llen, rlen, *, hi, mod, lo, s_hi, s_mod, s_lo, s_bad):
+    """Vectorized Pair::computeScore.
+
+    Args (P pairs, L max read len):
+      lseq/rseq  uint8[P, L]  nt16 base codes
+      lqual/rqual uint8[P, L]
+      left_start/right_start/cmp_len int32[P]  overlap geometry
+        (from the first M segments + posDis, pair.cpp:103-119)
+      llen/rlen int32[P]
+    Returns (lscore, rscore, new_lqual, new_rqual) — scores int32[P, L],
+    quals uint8[P, L] with the reference's overlap-mismatch rewrite applied
+    (pair.cpp:155-167).
+    """
+    return _overlap_core(lseq, lqual, rseq, rqual, left_start,
+                         right_start, cmp_len, llen, rlen, hi,
+                         mod, lo, s_hi, s_mod, s_lo, s_bad)
+
+
+
 # --------------------------------------------------------------------------
 # Consensus voting
 # --------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=(
-    "hi", "mod", "lo", "base_score_req", "ratio_num", "ratio_den", "full_bins"))
-def consensus_kernel(seq, qual, score, valid, pos_valid, refbase,
-                     *, hi, mod, lo, base_score_req, ratio_num, ratio_den,
-                     full_bins=True):
-    """Vectorized Group::makeConsensus voting (group.cpp:369-526).
-
-    Args (J jobs, K member reads incl. template at k=0, L positions):
-      seq   uint8[J, K, L]  member bases, pre-shifted by lenDiff for
-                             right-mode jobs (group.cpp:376-385)
-      qual  uint8[J, K, L]
-      score int32[J, K, L]  per-base scores from overlap scoring
-      valid bool[J, K]      member present
-      pos_valid bool[J, L]  position < job length
-      refbase uint8[J, L]   reference base as nt16 code, 0 = unavailable
-                             (host gathers via template ref offsets;
-                             group.cpp:430-439)
-    Returns:
-      new_seq  uint8[J, L]  consensus bases (template positions)
-      new_qual uint8[J, L]
-      diff        int32[J]  changed-base count
-      mismatch_inc int32[J] signed NM delta vs reference
-      (rollback handled here: new_seq/new_qual revert to the template row
-       when mismatch_inc > 5, group.cpp:538-566)
-    """
+def _vote_core(seq, qual, score, valid, pos_valid, refbase,
+               hi, mod, lo, base_score_req, ratio_num, ratio_den,
+               full_bins):
+    """Traced voting core shared by consensus_kernel and the fused
+    on-device pipeline. See consensus_kernel docstring."""
     J, K, L = seq.shape
     present = valid[:, :, None] & pos_valid[:, None, :]       # [J,K,L]
     sc = jnp.where(present, score, 0)
@@ -274,7 +265,98 @@ def consensus_kernel(seq, qual, score, valid, pos_valid, refbase,
     rollback = (minc > 5)[:, None]
     new_seq = jnp.where(rollback, out_base, cand_seq).astype(jnp.uint8)
     new_qual = jnp.where(rollback, out_qual_orig.astype(I32), cand_qual).astype(jnp.uint8)
-    return new_seq, new_qual, diff, minc.squeeze() if minc.ndim > 1 else minc
+    return new_seq, new_qual, diff, minc
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "hi", "mod", "lo", "base_score_req", "ratio_num", "ratio_den", "full_bins"))
+def consensus_kernel(seq, qual, score, valid, pos_valid, refbase,
+                     *, hi, mod, lo, base_score_req, ratio_num, ratio_den,
+                     full_bins=True):
+    """Vectorized Group::makeConsensus voting (group.cpp:369-526).
+
+    Args (J jobs, K member reads incl. template at k=0, L positions):
+      seq   uint8[J, K, L]  member bases, pre-shifted by lenDiff for
+                             right-mode jobs (group.cpp:376-385)
+      qual  uint8[J, K, L]
+      score int32[J, K, L]  per-base scores from overlap scoring
+      valid bool[J, K]      member present
+      pos_valid bool[J, L]  position < job length
+      refbase uint8[J, L]   reference base as nt16 code, 0 = unavailable
+                             (host gathers via template ref offsets;
+                             group.cpp:430-439)
+    Returns:
+      new_seq  uint8[J, L]  consensus bases (template positions)
+      new_qual uint8[J, L]
+      diff        int32[J]  changed-base count
+      mismatch_inc int32[J] signed NM delta vs reference
+      (rollback handled here: new_seq/new_qual revert to the template row
+       when mismatch_inc > 5, group.cpp:538-566)
+    """
+    return _vote_core(seq, qual, score, valid, pos_valid, refbase,
+                      hi, mod, lo, base_score_req, ratio_num,
+                      ratio_den, full_bins)
+
+
+
+# --------------------------------------------------------------------------
+# Fused on-device pipeline: scoring + member-gather + voting, with the big
+# read matrices resident on device (minimizes host<->device transfer — the
+# limiting factor over a remote-attached chip).
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=(
+    "hi", "mod", "lo", "s_hi", "s_mod", "s_lo", "s_bad"))
+def score_scatter_kernel(seq_all, qual_all, lrow, rrow, ls, rs, cl, llen, rlen,
+                         *, hi, mod, lo, s_hi, s_mod, s_lo, s_bad):
+    """Overlap scoring over pair row indices into the device-resident read
+    matrices; returns (score_all int8[N, L] with scored rows scattered in,
+    qual_all with the overlap-mismatch rewrites applied).
+
+    Unscored rows keep the moderate default (= s_mod; reference memsets the
+    arrays to scoreOfNotOverlappedModerateQual, pair.cpp:92)."""
+    N, L = seq_all.shape
+    lseq = seq_all[lrow]
+    rseq = seq_all[rrow]
+    lqual = qual_all[lrow]
+    rqual = qual_all[rrow]
+    lscore, rscore, nlq, nrq = _overlap_core(
+        lseq, lqual, rseq, rqual, ls, rs, cl, llen, rlen,
+        hi, mod, lo, s_hi, s_mod, s_lo, s_bad)
+    score_all = jnp.full((N, L), s_mod, dtype=jnp.int8)
+    score_all = score_all.at[lrow].set(lscore.astype(jnp.int8))
+    score_all = score_all.at[rrow].set(rscore.astype(jnp.int8))
+    qual_new = qual_all.at[lrow].set(nlq).at[rrow].set(nrq)
+    return score_all, qual_new
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "hi", "mod", "lo", "base_score_req", "ratio_num", "ratio_den", "full_bins"))
+def fused_vote_kernel(seq_all, qual_all, score_all, rows, shifts, valid,
+                      job_len, refbase, *, hi, mod, lo, base_score_req,
+                      ratio_num, ratio_den, full_bins=True):
+    """Gather job members from device-resident matrices (with per-member
+    lenDiff shifts, group.cpp:376-385) and vote. Returns final full-row
+    outputs (template row with the voted prefix) + diff/minc.
+
+    rows/shifts int32[J, K] (member work-array rows; shift >= 0),
+    valid bool[J, K], job_len int32[J], refbase uint8[J, L].
+    """
+    J, K = rows.shape
+    N, L = seq_all.shape
+    l = jnp.arange(L, dtype=I32)[None, None, :]
+    idx = jnp.clip(shifts[:, :, None].astype(I32) + l, 0, L - 1)
+    flat = rows[:, :, None].astype(I32) * L + idx
+    gseq = jnp.take(seq_all.reshape(-1), flat)
+    gqual = jnp.take(qual_all.reshape(-1), flat)
+    gscore = jnp.take(score_all.reshape(-1), flat).astype(I32)
+    pos_valid = jnp.arange(L, dtype=I32)[None, :] < job_len[:, None]
+    new_seq, new_qual, diff, minc = _vote_core(
+        gseq, gqual, gscore, valid, pos_valid, refbase,
+        hi, mod, lo, base_score_req, ratio_num, ratio_den, full_bins)
+    # _vote_core already yields template values outside pos_valid and on
+    # rollback, so new_seq/new_qual are the complete final rows.
+    return new_seq, new_qual, diff, minc
 
 
 @jax.jit

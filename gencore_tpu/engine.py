@@ -237,6 +237,10 @@ class VectorEngine:
                            default_score=opt.score_not_overlapped_moderate_qual)
         self.work = work
         ct = CigarTable(batch, cidx)
+        # read matrices live on device for the fused kernel pipeline
+        import jax
+        seq_dev = jax.device_put(work.seq)
+        qual_dev = jax.device_put(work.qual)
 
         rl = work.row_of(pl)
         has_right = pr >= 0
@@ -296,14 +300,16 @@ class VectorEngine:
             side_jobs[is_left] = sj
             flats[is_left] = flat
 
-        # ---- overlap scoring ----
-        self._score_pairs_vec(batch, pl, pr, rl, rr, has_right, ct,
-                              mem_pairs, g_start, g_sizes, side_jobs, work)
+        # ---- overlap scoring (on device; matrices stay resident) ----
+        score_dev, qual_dev = self._score_pairs_vec(
+            batch, pl, pr, rl, rr, has_right, ct, mem_pairs, g_start,
+            g_sizes, side_jobs, work, seq_dev, qual_dev)
 
         # ---- voting ----
         # =ACGTN-only data takes the reduced-bin kernel (see kernels.py)
         full_bins = not bool(_OK_CODES[work.seq].all())
-        self._vote_jobs(jobs, batch, work, flats, full_bins)
+        self._vote_jobs(jobs, batch, work, flats, full_bins,
+                        seq_dev, qual_dev, score_dev)
 
         # ---- per-cluster assembly + duplex + thresholds ----
         group_of_cluster: list = [[] for _ in range(nclusters)]
@@ -602,27 +608,34 @@ class VectorEngine:
 
     # ------------------------------------------------------------------
     def _score_pairs_vec(self, batch, pl, pr, rl, rr, has_right, ct,
-                         mem_pairs, g_start, g_sizes, side_jobs, work):
+                         mem_pairs, g_start, g_sizes, side_jobs, work,
+                         seq_dev, qual_dev):
         """Overlap scoring for every pair of any group owning >= 1 job
         (reference fetches scores for all group pairs, group.cpp:272,300-304).
+        Runs fully on device; returns (score_dev, qual_dev).
         """
+        import jax
+        import jax.numpy as jnp
+        o = self.opt
+        default = jnp.full(work.seq.shape, o.score_not_overlapped_moderate_qual,
+                           dtype=jnp.int8)
         G = len(g_sizes)
         if G == 0:
-            return
+            return default, qual_dev
         need_g = (side_jobs[True] >= 0) | (side_jobs[False] >= 0)
         gidx_of_member = np.repeat(np.arange(G), g_sizes)
         need_pair_mask = np.zeros(len(pl), dtype=bool)
         need_pair_mask[mem_pairs[need_g[gidx_of_member]]] = True
         sel = np.nonzero(need_pair_mask & has_right)[0]
         if len(sel) == 0:
-            return
+            return default, qual_dev
         lrow = rl[sel]
         rrow = rr[sel]
         lmo, lml = ct.m_off[lrow], ct.m_len[lrow]
         rmo, rml = ct.m_off[rrow], ct.m_len[rrow]
         okg = (lml > 0) & (rml > 0)
         if not okg.any():
-            return
+            return default, qual_dev
         lrow, rrow = lrow[okg], rrow[okg]
         lmo, lml, rmo, rml = lmo[okg], lml[okg], rmo[okg], rml[okg]
         sel = sel[okg]
@@ -633,9 +646,9 @@ class VectorEngine:
         rs = np.where(fwd, rmo, rmo - pos_dis)
         cl = np.where(fwd, np.minimum(lml - pos_dis, rml),
                       np.minimum(lml, rml + pos_dis))
-        o = self.opt
-        ls_, rs_, nlq, nrq = kernels.overlap_score_kernel(
-            work.seq[lrow], work.qual[lrow], work.seq[rrow], work.qual[rrow],
+        score_dev, qual_dev = kernels.score_scatter_kernel(
+            seq_dev, qual_dev,
+            lrow.astype(np.int32), rrow.astype(np.int32),
             ls.astype(np.int32), rs.astype(np.int32), cl.astype(np.int32),
             batch.l_qseq[pl[sel]].astype(np.int32),
             batch.l_qseq[pr[sel]].astype(np.int32),
@@ -644,10 +657,7 @@ class VectorEngine:
             s_mod=o.score_not_overlapped_moderate_qual,
             s_lo=o.score_not_overlapped_low_qual,
             s_bad=o.score_not_overlapped_bad_qual)
-        work.score[lrow] = np.asarray(ls_).astype(np.int8)
-        work.score[rrow] = np.asarray(rs_).astype(np.int8)
-        work.qual[lrow] = np.asarray(nlq)
-        work.qual[rrow] = np.asarray(nrq)
+        return score_dev, qual_dev
 
     # ------------------------------------------------------------------
     def _ref_offsets(self, key: bytes, c: np.ndarray, length: int):
@@ -697,7 +707,8 @@ class VectorEngine:
             out[rows[:, None], np.arange(jl)[None, :]] = codes
         return out
 
-    def _vote_jobs(self, jobs: list, batch, work, flats, full_bins=True):
+    def _vote_jobs(self, jobs: list, batch, work, flats, full_bins,
+                   seq_dev, qual_dev, score_dev):
         if not jobs:
             return
         o = self.opt
@@ -710,11 +721,10 @@ class VectorEngine:
 
         for kb, jlist in sorted(buckets.items()):
             J = len(jlist)
-            rows = np.zeros((J, kb), dtype=np.int64)
+            rows = np.zeros((J, kb), dtype=np.int32)
+            shifts = np.zeros((J, kb), dtype=np.int32)
             valid = np.zeros((J, kb), dtype=bool)
-            jl_arr = np.array([jobs[ji].job_len for ji in jlist])
-            pos_valid = np.arange(L)[None, :] < jl_arr[:, None]
-            shift_jobs = []
+            jl_arr = np.array([jobs[ji].job_len for ji in jlist], dtype=np.int32)
             fast_jj = []
             fast_k = []
             fast_fs = []
@@ -727,10 +737,14 @@ class VectorEngine:
                     fast_fs.append(job.flat_start)
                     fast_side.append(job.is_left_side)
                 else:
-                    shift_jobs.append((jj, ji))
                     for k, rj in enumerate(job.members_reads):
                         rows[jj, k] = work.row_of_one(rj)
                         valid[jj, k] = True
+                        if not job.left_read_mode:
+                            d = job.len_diffs[k]
+                            # collected members are never shorter than the
+                            # template (group.cpp:309 containment), so d >= 0
+                            shifts[jj, k] = max(d, 0)
             if fast_jj:
                 jj_arr = np.asarray(fast_jj)
                 k_arr = np.asarray(fast_k)
@@ -750,29 +764,12 @@ class VectorEngine:
                 rows[jrep, krep] = vals
                 valid[jrep, krep] = True
 
-            seq = work.seq[rows]
-            qual = work.qual[rows]
-            score = work.score[rows].astype(np.int32)
-            for jj, ji in shift_jobs:
-                job = jobs[ji]
-                if job.left_read_mode:
-                    continue
-                for k, d in enumerate(job.len_diffs):
-                    if d > 0:
-                        seq[jj, k, :L - d] = seq[jj, k, d:]
-                        qual[jj, k, :L - d] = qual[jj, k, d:]
-                        score[jj, k, :L - d] = score[jj, k, d:]
-                    elif d < 0:
-                        seq[jj, k, -d:] = seq[jj, k, :L + d]
-                        qual[jj, k, -d:] = qual[jj, k, :L + d]
-                        score[jj, k, -d:] = score[jj, k, :L + d]
-
             refbase = self._refbase_batch([jobs[ji] for ji in jlist], batch)
-            new_seq, new_qual, diff, minc = kernels.consensus_kernel(
-                seq, qual, score, valid, pos_valid, refbase,
-                hi=o.high_quality, mod=o.moderate_quality, lo=o.low_quality,
-                base_score_req=o.base_score_req, ratio_num=rnum, ratio_den=rden,
-                full_bins=full_bins)
+            new_seq, new_qual, diff, minc = kernels.fused_vote_kernel(
+                seq_dev, qual_dev, score_dev, rows, shifts, valid, jl_arr,
+                refbase, hi=o.high_quality, mod=o.moderate_quality,
+                lo=o.low_quality, base_score_req=o.base_score_req,
+                ratio_num=rnum, ratio_den=rden, full_bins=full_bins)
             new_seq = np.asarray(new_seq)
             new_qual = np.asarray(new_qual)
             diff = np.asarray(diff)
@@ -853,14 +850,10 @@ class VectorEngine:
             return None
         job = jobs[job_id]
         tr = job.template_read
-        row = work.row_of_one(tr)
         n = int(batch.l_qseq[tr])
-        seq = work.seq[row, :n].copy()
-        qual = work.qual[row, :n].copy()
-        jl = job.job_len
-        seq[:jl] = job.new_seq[:jl]
-        qual[:jl] = job.new_qual[:jl]
-        r = OutRead(batch, tr, seq=seq, qual=qual)
+        # fused kernel outputs are complete final rows (voted prefix +
+        # post-overlap-scoring template tail)
+        r = OutRead(batch, tr, seq=job.new_seq[:n], qual=job.new_qual[:n])
         if job.minc != 0 and job.minc <= 5:
             new_nm = int(self._nm_vals[tr]) + job.minc
             if self._nm_patch[tr] >= 0 and 0 <= new_nm <= 255:
