@@ -153,7 +153,11 @@ def main(argv=None) -> int:
     engine = EngineCls(opt, header, fasta=fasta, bed=bed)
     outs = engine.run(reader.read_all())
 
-    writer = bamio.BamWriter(opt.output, header)
+    if opt.output.endswith("sam") or opt.output == "-":
+        from gencore_tpu.io.sam import SamWriter
+        writer = SamWriter(opt.output, header)
+    else:
+        writer = bamio.BamWriter(opt.output, header)
     if hasattr(outs, "build_payload"):
         writer.write_table(outs)
     else:

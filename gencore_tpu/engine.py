@@ -132,6 +132,29 @@ class VectorEngine:
         mpos = batch.mpos.astype(np.int64)
         isize = batch.isize.astype(np.int64)
 
+        # sortedness check (fatal in the reference, gencore.cpp:232-241);
+        # records with tid<0 or pos<0 are exempt
+        mapped_chk = (tid >= 0) & (pos >= 0)
+        mi = np.nonzero(mapped_chk)[0]
+        if len(mi) > 1:
+            t0, p0 = tid[mi[:-1]], pos[mi[:-1]]
+            t1, p1 = tid[mi[1:]], pos[mi[1:]]
+            bad = (t1 < t0) | ((t1 == t0) & (p1 < p0))
+            if bad.any():
+                k = int(np.nonzero(bad)[0][0])
+                raise ValueError(
+                    f"the input is unsorted. Found {t1[k]}:{p1[k]} after "
+                    f"{t0[k]}:{p0[k]}. Please sort the input first.")
+
+        # SE-input warning (gencore.cpp:224-230)
+        first1k = min(n, 1000)
+        if n >= 1000 and not (mtid[:first1k] >= 0).any():
+            import sys
+            print("WARNING: seems that the input data is single-end, gencore "
+                  "will not make consensus read and remove duplication for SE "
+                  "data since grouping by coordination will be inaccurate.",
+                  file=sys.stderr)
+
         # --quit_after_contig (gencore.cpp:222,242-246)
         limit = n
         if opt.max_contig > 0:

@@ -287,6 +287,15 @@ class BamReader:
 
     def __init__(self, path: str):
         from gencore_tpu.io import native
+        if path == "-":
+            # stdin: buffer to a temp file so the native threaded reader works
+            import sys
+            import tempfile
+            data = sys.stdin.buffer.read()
+            tf = tempfile.NamedTemporaryFile(delete=False, suffix=".bam")
+            tf.write(data)
+            tf.close()
+            path = tf.name
         self._payload_arr = native.bgzf_read(path)
         if self._payload_arr is not None:
             payload = self._payload_arr.tobytes() if False else None

@@ -23,9 +23,12 @@ MAX_BLOCK_INPUT = 65280  # uncompressed bytes per block (htslib convention)
 
 def decompress_file(path: str) -> bytes:
     """Decompress a whole BGZF (or plain gzip) file to bytes."""
-    out = []
     with open(path, "rb") as f:
-        data = f.read()
+        return decompress_bytes(f.read())
+
+
+def decompress_bytes(data: bytes) -> bytes:
+    out = []
     pos = 0
     n = len(data)
     while pos < n:

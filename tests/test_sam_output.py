@@ -1,0 +1,56 @@
+"""SAM text output parity checks."""
+
+import os
+import subprocess
+import sys
+
+from tests.datagen import SyntheticBam
+
+
+def test_sam_output(tmp_path):
+    sb = SyntheticBam(seed=60, contig_len=50_000)
+    sb.add_pair(0, 1000, 1100, umi="ACGT")
+    sb.add_pair(0, 1000, 1100, umi="ACGT")
+    bam_path = str(tmp_path / "in.bam")
+    sb.write_bam(bam_path)
+    out_sam = str(tmp_path / "out.sam")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", GENCORE_PLATFORM="cpu")
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cp = subprocess.run(
+        [sys.executable, "-m", "gencore_tpu.cli", "-i", bam_path, "-o", out_sam,
+         "-j", str(tmp_path / "r.json"), "--html", str(tmp_path / "r.html")],
+        capture_output=True, text=True, env=env, cwd=cwd)
+    assert cp.returncode == 0, cp.stderr
+    lines = open(out_sam).read().strip().split("\n")
+    hdr = [l for l in lines if l.startswith("@")]
+    recs = [l for l in lines if not l.startswith("@")]
+    assert any(l.startswith("@SQ") for l in hdr)
+    assert len(recs) == 2
+    f = recs[0].split("\t")
+    assert f[2] == "chr1"
+    assert f[3] == "1001"  # 1-based
+    assert f[5] == "100M"
+    assert f[6] == "="
+    assert any(t == "FR:i:2" for t in f[11:])
+    # seq matches the synthetic reference
+    assert f[9] == sb.contigs[0][1000:1100]
+
+
+def test_unsorted_input_fatal(tmp_path):
+    sb = SyntheticBam(seed=61, contig_len=50_000)
+    sb.add_pair(0, 2000, 2100)
+    sb.add_pair(0, 1000, 1100)
+    # force unsorted by bypassing the sort in write_bam
+    from gencore_tpu.io.bam import BamWriter
+    w = BamWriter(str(tmp_path / "u.bam"), sb.header)
+    for _, _, _, body in sb.records:  # insertion order: 2000 first
+        w.write_record(body)
+    w.close()
+    from gencore_tpu.engine import VectorEngine
+    from gencore_tpu.io import bam
+    from gencore_tpu.options import Options
+    r = bam.BamReader(str(tmp_path / "u.bam"))
+    eng = VectorEngine(Options(), r.header)
+    import pytest
+    with pytest.raises(ValueError, match="unsorted"):
+        eng.run(r.read_all())
