@@ -70,6 +70,15 @@ def main():
     from gencore_tpu.options import Options
 
     import jax
+    # persistent XLA compile cache: fused-kernel compiles are expensive on a
+    # remote-attached TPU (~2-3 min/shape); shapes are padded to recur
+    cache_dir = os.path.join(BENCH_DIR, "jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     platform = jax.devices()[0].platform
     fasta = FastaRef.load(fa_path)
     reader = bamio.BamReader(bam_path)

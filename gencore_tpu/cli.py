@@ -122,6 +122,12 @@ def main(argv=None) -> int:
     if plat:
         import jax
         jax.config.update("jax_platforms", plat)
+    cache_dir = os.environ.get("GENCORE_COMPILE_CACHE")
+    if cache_dir:
+        import jax
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     command = "gencore-tpu " + " ".join(argv)
     t1 = time.time()
@@ -164,6 +170,10 @@ def main(argv=None) -> int:
         for r in outs:
             writer.write_record(r.encode())
     writer.close()
+
+    if opt.debug and hasattr(engine, "timer"):
+        for line in engine.timer.report_lines():
+            print(line, file=sys.stderr)
 
     print("----Before gencore processing:", file=sys.stderr)
     engine.pre_stats.print_summary(sys.stderr)

@@ -396,6 +396,19 @@ class OutputTable:
         self._payload = out
         return out
 
+    def record_keys(self) -> np.ndarray:
+        """bamComp sort keys [n, 5] for cross-shard merging."""
+        b = self.batch
+        rec = self.rec
+        tids = b.tid[rec].astype(np.int64)
+        return np.stack([
+            np.where(tids >= 0, tids, 0x7FFFFFFF),
+            b.pos[rec].astype(np.int64),
+            b.mtid[rec].astype(np.int64),
+            b.mpos[rec].astype(np.int64),
+            b.isize[rec].astype(np.int64),
+        ], axis=1)
+
     def encoded_records(self) -> list:
         """Record bodies (without block_size) in output order — test surface."""
         payload = self.build_payload()

@@ -36,6 +36,7 @@ from gencore_tpu.io import bam as bamio
 from gencore_tpu.options import Options
 from gencore_tpu.stats import Stats
 from gencore_tpu.utils import cigar as cig
+from gencore_tpu.utils.tracing import StageTimer
 
 PAIR_GAP_LIMIT = 100_000  # gencore.cpp:300
 TICK = 10_000             # gencore.cpp:319-322
@@ -106,6 +107,7 @@ class VectorEngine:
         else:
             self._genome = None
         self._umi_from_mi = False
+        self.timer = StageTimer()
 
     # ------------------------------------------------------------------
     def run(self, batch: bamio.RecordBatch, *, checkpoint=None,
@@ -254,24 +256,30 @@ class VectorEngine:
                          opt.unproper_reads_umi_diff_threshold)
 
         # ---- working arrays + cigar metadata ----
+        _T = self.timer.stage
         max_len = int(batch.l_qseq[cidx].max())
-        self.max_len = max(max_len, 1)
-        work = _WorkArrays(batch, cidx, self.max_len,
-                           default_score=opt.score_not_overlapped_moderate_qual)
-        self.work = work
-        ct = CigarTable(batch, cidx)
-        # read matrices live on device for the fused kernel pipeline
-        import jax
-        seq_dev = jax.device_put(work.seq)
-        qual_dev = jax.device_put(work.qual)
+        # round L up so compiled kernel shapes recur across workloads
+        # (jit compiles are expensive on remote-attached TPUs; shapes are
+        # bucketed and cached persistently — see cli/bench cache config)
+        self.max_len = max(((max_len + 31) // 32) * 32, 32)
+        with _T("materialize"):
+            work = _WorkArrays(batch, cidx, self.max_len,
+                               default_score=opt.score_not_overlapped_moderate_qual)
+            self.work = work
+            ct = CigarTable(batch, cidx)
+            # read matrices live on device for the fused kernel pipeline
+            import jax
+            seq_dev = jax.device_put(work.seq)
+            qual_dev = jax.device_put(work.qual)
 
         rl = work.row_of(pl)
         has_right = pr >= 0
         rr = np.where(has_right, work.row_of(np.where(has_right, pr, pl)), -1)
 
         # ---- vectorized UMIs ----
-        u_start, u_len, u_keys, u_mat = self._pair_umis_vec(
-            batch, qname_mat, cidx, rl, rr, has_right)
+        with _T("umi"):
+            u_start, u_len, u_keys, u_mat = self._pair_umis_vec(
+                batch, qname_mat, cidx, rl, rr, has_right)
         _, pair_ukey_id = np.unique(u_keys, return_inverse=True)
         pair_has_umi = u_len > 0
 
@@ -316,23 +324,26 @@ class VectorEngine:
         jobs: list = []
         side_jobs = {}
         flats = {}
-        for is_left in (True, False):
-            sj, flat = self._elect_vectorized(
-                is_left, mem_pairs, g_start, g_sizes, g_single, pl, pr, rl, rr,
-                ct, batch, jobs)
-            side_jobs[is_left] = sj
-            flats[is_left] = flat
+        with _T("election"):
+            for is_left in (True, False):
+                sj, flat = self._elect_vectorized(
+                    is_left, mem_pairs, g_start, g_sizes, g_single, pl, pr, rl, rr,
+                    ct, batch, jobs)
+                side_jobs[is_left] = sj
+                flats[is_left] = flat
 
         # ---- overlap scoring (on device; matrices stay resident) ----
-        score_dev, qual_dev = self._score_pairs_vec(
-            batch, pl, pr, rl, rr, has_right, ct, mem_pairs, g_start,
-            g_sizes, side_jobs, work, seq_dev, qual_dev)
+        with _T("score"):
+            score_dev, qual_dev = self._score_pairs_vec(
+                batch, pl, pr, rl, rr, has_right, ct, mem_pairs, g_start,
+                g_sizes, side_jobs, work, seq_dev, qual_dev)
 
         # ---- voting ----
         # =ACGTN-only data takes the reduced-bin kernel (see kernels.py)
         full_bins = not bool(_OK_CODES[work.seq].all())
-        self._vote_jobs(jobs, batch, work, flats, full_bins,
-                        seq_dev, qual_dev, score_dev)
+        with _T("vote"):
+            self._vote_jobs(jobs, batch, work, flats, full_bins,
+                            seq_dev, qual_dev, score_dev)
 
         # ---- per-cluster assembly + duplex + thresholds ----
         group_of_cluster: list = [[] for _ in range(nclusters)]
@@ -347,23 +358,25 @@ class VectorEngine:
                 umi_cache[pi] = v
             return v
 
-        for ci in range(nclusters):
-            glist = group_of_cluster[ci]
-            if not glist:
-                continue
-            self.pre_stats.add_cluster(len(glist) > 1)
-            singles = []
-            for gi in glist:
-                singles.append(self._assemble_group(
-                    gi, group_slices[gi], bool(g_single[gi]), bool(g_cross[gi]),
-                    side_jobs, jobs, batch, pl, pr, work, pair_umi_str))
-            has_umi = bool(pair_has_umi[c_pair_start[ci]:c_pair_end[ci]].any())
-            results = postprocess_cluster(singles, has_umi, opt,
-                                          self.pre_stats, self.post_stats)
-            for pair in results:
-                self._emit_pair(pair, out_records)
+        with _T("assemble"):
+            for ci in range(nclusters):
+                glist = group_of_cluster[ci]
+                if not glist:
+                    continue
+                self.pre_stats.add_cluster(len(glist) > 1)
+                singles = []
+                for gi in glist:
+                    singles.append(self._assemble_group(
+                        gi, group_slices[gi], bool(g_single[gi]), bool(g_cross[gi]),
+                        side_jobs, jobs, batch, pl, pr, work, pair_umi_str))
+                has_umi = bool(pair_has_umi[c_pair_start[ci]:c_pair_end[ci]].any())
+                results = postprocess_cluster(singles, has_umi, opt,
+                                              self.pre_stats, self.post_stats)
+                for pair in results:
+                    self._emit_pair(pair, out_records)
 
-        return self._finalize(out_records)
+        with _T("finalize"):
+            return self._finalize(out_records)
 
     # ------------------------------------------------------------------
     def _pair_umis_vec(self, batch, qname_mat, cidx, rl, rr, has_right):
@@ -669,12 +682,22 @@ class VectorEngine:
         rs = np.where(fwd, rmo, rmo - pos_dis)
         cl = np.where(fwd, np.minimum(lml - pos_dis, rml),
                       np.minimum(lml, rml + pos_dis))
+        # pad P to a power of two; padded lanes target the dummy sink row
+        P = len(sel)
+        P2 = _next_pow2(max(P, 1))
+        dummy = work.dummy_row
+
+        def padp(a, fill):
+            out = np.full(P2, fill, dtype=np.int32)
+            out[:P] = a
+            return out
+
         score_dev, qual_dev = kernels.score_scatter_kernel(
             seq_dev, qual_dev,
-            lrow.astype(np.int32), rrow.astype(np.int32),
-            ls.astype(np.int32), rs.astype(np.int32), cl.astype(np.int32),
-            batch.l_qseq[pl[sel]].astype(np.int32),
-            batch.l_qseq[pr[sel]].astype(np.int32),
+            padp(lrow, dummy), padp(rrow, dummy),
+            padp(ls, 0), padp(rs, 0), padp(cl, 0),
+            padp(batch.l_qseq[pl[sel]], 0),
+            padp(batch.l_qseq[pr[sel]], 0),
             hi=o.high_quality, mod=o.moderate_quality, lo=o.low_quality,
             s_hi=o.score_not_overlapped_high_qual,
             s_mod=o.score_not_overlapped_moderate_qual,
@@ -744,10 +767,12 @@ class VectorEngine:
 
         for kb, jlist in sorted(buckets.items()):
             J = len(jlist)
-            rows = np.zeros((J, kb), dtype=np.int32)
-            shifts = np.zeros((J, kb), dtype=np.int32)
-            valid = np.zeros((J, kb), dtype=bool)
-            jl_arr = np.array([jobs[ji].job_len for ji in jlist], dtype=np.int32)
+            J2 = _next_pow2(max(J, 1))
+            rows = np.full((J2, kb), work.dummy_row, dtype=np.int32)
+            shifts = np.zeros((J2, kb), dtype=np.int32)
+            valid = np.zeros((J2, kb), dtype=bool)
+            jl_arr = np.zeros(J2, dtype=np.int32)
+            jl_arr[:J] = np.array([jobs[ji].job_len for ji in jlist], dtype=np.int32)
             fast_jj = []
             fast_k = []
             fast_fs = []
@@ -787,7 +812,8 @@ class VectorEngine:
                 rows[jrep, krep] = vals
                 valid[jrep, krep] = True
 
-            refbase = self._refbase_batch([jobs[ji] for ji in jlist], batch)
+            refbase = np.zeros((J2, work.L), dtype=np.uint8)
+            refbase[:J] = self._refbase_batch([jobs[ji] for ji in jlist], batch)
             new_seq, new_qual, diff, minc = kernels.fused_vote_kernel(
                 seq_dev, qual_dev, score_dev, rows, shifts, valid, jl_arr,
                 refbase, hi=o.high_quality, mod=o.moderate_quality,
@@ -960,14 +986,23 @@ class VectorEngine:
 
 class _WorkArrays:
     """Dense working matrices for clustered reads; rows map from record
-    index via searchsorted (cidx is ascending)."""
+    index via searchsorted (cidx is ascending). Row count is padded to a
+    power of two (+1 dummy row used as a scatter/gather sink for padded
+    lanes) so compiled kernel shapes recur across workloads."""
 
     def __init__(self, batch, cidx: np.ndarray, max_len: int, default_score: int = 6):
         self.L = max_len
         self.cidx = cidx
-        self.seq = batch.seq_matrix(cidx, max_len)
-        self.qual = batch.qual_matrix(cidx, max_len)
-        self.score = np.full((len(cidx), max_len), default_score, dtype=np.int8)
+        n = len(cidx)
+        n_pad = _next_pow2(n + 1)
+        seq = batch.seq_matrix(cidx, max_len)
+        qual = batch.qual_matrix(cidx, max_len)
+        self.seq = np.zeros((n_pad, max_len), dtype=np.uint8)
+        self.seq[:n] = seq
+        self.qual = np.zeros((n_pad, max_len), dtype=np.uint8)
+        self.qual[:n] = qual
+        self.dummy_row = n_pad - 1
+        self.score = np.full((n_pad, max_len), default_score, dtype=np.int8)
 
     def row_of(self, read_idx: np.ndarray) -> np.ndarray:
         return np.searchsorted(self.cidx, read_idx)

@@ -69,11 +69,39 @@ def subset_batch(batch: bamio.RecordBatch, idx: np.ndarray) -> bamio.RecordBatch
     return bamio.RecordBatch(batch.data, batch.off[idx], batch.end[idx])
 
 
+class LoadedShard:
+    """Shard results restored from a checkpoint (resume path)."""
+
+    def __init__(self, payload: np.ndarray, keys: np.ndarray):
+        self.payload = payload
+        self.keys = keys
+
+    def record_keys(self) -> np.ndarray:
+        return self.keys
+
+    def encoded_records(self) -> list:
+        out = []
+        p = 0
+        data = self.payload
+        n = len(data)
+        while p + 4 <= n:
+            bs = int(data[p]) | (int(data[p + 1]) << 8) | \
+                (int(data[p + 2]) << 16) | (int(data[p + 3]) << 24)
+            out.append(data[p + 4:p + 4 + bs].tobytes())
+            p += 4 + bs
+        return out
+
+    def build_payload(self) -> np.ndarray:
+        return self.payload
+
+
 def run_sharded(opt: Options, batch: bamio.RecordBatch, header,
-                fasta=None, bed=None, n_shards: int = 2):
+                fasta=None, bed=None, n_shards: int = 2,
+                checkpoint_dir: str | None = None):
     """Run the engine over `n_shards` coordinate shards; returns
-    (list_of_OutputTables, pre_stats, post_stats) equivalent to a
-    single-shot run."""
+    (shard_results, pre_stats, post_stats) equivalent to a single-shot run.
+    With checkpoint_dir, completed shards are persisted and a resumed run
+    skips them (SURVEY.md §5 checkpoint/resume)."""
     assert opt.max_contig == 0, "window sharding does not combine with --quit_after_contig"
     # resolve UMI prefix once, from the first record (gencore.cpp:206-221)
     if opt.umi_prefix == "auto":
@@ -97,6 +125,11 @@ def run_sharded(opt: Options, batch: bamio.RecordBatch, header,
     pre.add_reads_vectorized(batch.tid.astype(np.int64), batch.pos.astype(np.int64),
                              batch.l_qseq.astype(np.int64), nm)
 
+    ckpt = None
+    if checkpoint_dir is not None:
+        from gencore_tpu.parallel.resume import WindowCheckpoint
+        ckpt = WindowCheckpoint(checkpoint_dir, opt, n_shards)
+
     ck = global_checkpoint(batch)
     kind, left = cluster_left_keys(batch)
 
@@ -111,6 +144,18 @@ def run_sharded(opt: Options, batch: bamio.RecordBatch, header,
 
     tables = []
     for s in range(n_shards):
+        if ckpt is not None and ckpt.is_done(s):
+            payload, keys, spre, spost = ckpt.load_shard(s)
+            tables.append(LoadedShard(payload, keys))
+            pre.cluster += spre.cluster
+            pre.multi_molecule_cluster += spre.multi_molecule_cluster
+            pre.molecule += spre.molecule
+            pre.molecule_se += spre.molecule_se
+            pre.molecule_pe += spre.molecule_pe
+            pre.supporting_histogram += spre.supporting_histogram
+            pre.uncounted_supporting_reads += spre.uncounted_supporting_reads
+            post.merge_from(spost)
+            continue
         own = (kind > 0) & (shard == s)
         idx = np.nonzero(own)[0]
         if len(idx) == 0:
@@ -122,6 +167,9 @@ def run_sharded(opt: Options, batch: bamio.RecordBatch, header,
                            bed=bed.copy_structure() if bed is not None else None)
         table = eng.run(sub, checkpoint=ck, count_pre_reads=False)
         tables.append(table)
+        if ckpt is not None:
+            ckpt.record_shard(s, table.build_payload(), table.record_keys(),
+                              eng.pre_stats, eng.post_stats)
         # merge molecule/cluster counters (pre) and everything (post)
         pre.cluster += eng.pre_stats.cluster
         pre.multi_molecule_cluster += eng.pre_stats.multi_molecule_cluster
@@ -138,17 +186,7 @@ def merged_records(tables) -> list:
     """All output record bodies across shards, in global bamComp order."""
     recs = []
     for t in tables:
-        b = t.batch
-        rec = t.rec
-        tids = b.tid[rec].astype(np.int64)
-        keys = np.stack([
-            np.where(tids >= 0, tids, 0x7FFFFFFF),
-            b.pos[rec].astype(np.int64),
-            b.mtid[rec].astype(np.int64),
-            b.mpos[rec].astype(np.int64),
-            b.isize[rec].astype(np.int64),
-        ], axis=1)
-        for body, key in zip(t.encoded_records(), keys):
+        for body, key in zip(t.encoded_records(), t.record_keys()):
             recs.append((tuple(key), body))
     recs.sort(key=lambda kb: kb[0])
     return [b for _, b in recs]

@@ -73,3 +73,36 @@ def test_sharded_tick_checkpoint(tmp_path):
     sharded_recs = sorted(b for t in tables for b in t.encoded_records())
     assert single_recs == sharded_recs
     assert eng.post_stats.sscs_num == post.sscs_num
+
+
+def test_checkpoint_resume(tmp_path):
+    """Crash-resume: completed shards load from the manifest and the final
+    result is identical; changed options invalidate the checkpoint."""
+    sb = make_random_workload(53, n_fragments=80, umi_mode="single",
+                              contig_len=300_000, n_contigs=1)
+    bam_path = str(tmp_path / "in.bam")
+    sb.write_bam(bam_path)
+    reader = bam.BamReader(bam_path)
+    batch = reader.read_all()
+    ckdir = str(tmp_path / "ck")
+
+    t1, pre1, post1 = windows.run_sharded(Options(), batch, reader.header,
+                                          n_shards=3, checkpoint_dir=ckdir)
+    recs1 = sorted(b for t in t1 for b in t.encoded_records())
+
+    # resume: all shards come from the checkpoint
+    t2, pre2, post2 = windows.run_sharded(Options(), batch, reader.header,
+                                          n_shards=3, checkpoint_dir=ckdir)
+    from gencore_tpu.parallel.windows import LoadedShard
+    assert all(isinstance(t, LoadedShard) for t in t2)
+    recs2 = sorted(b for t in t2 for b in t.encoded_records())
+    assert recs1 == recs2
+    for f in STAT_FIELDS:
+        assert getattr(post1, f) == getattr(post2, f), f
+        assert getattr(pre1, f) == getattr(pre2, f), f
+
+    # different options -> fresh run (manifest fingerprint mismatch)
+    t3, _, _ = windows.run_sharded(Options(cluster_size_req=2), batch,
+                                   reader.header, n_shards=3,
+                                   checkpoint_dir=str(tmp_path / "ck2"))
+    assert not all(isinstance(t, LoadedShard) for t in t3)
