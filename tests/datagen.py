@@ -86,20 +86,52 @@ class SyntheticBam:
 
     def add_single(self, tid: int, pos: int, read_len: int = 100, umi: str | None = None,
                    flag: int = 0, mtid: int = -1, mpos: int = -1, tlen: int = 0,
-                   n_errors: int = 0, qual: int = 35, nm: int | None = None):
+                   n_errors: int = 0, qual: int = 35, nm: int | None = None,
+                   cigar: str | None = None):
         qname = self._qname(umi)
-        seq, cg = self.read_seq(tid, pos, read_len, n_errors)
+        if tid >= 0:
+            seq, cg = self.read_seq(tid, pos, read_len, n_errors)
+        else:
+            seq = "".join(BASES[i] for i in self.rng.integers(0, 4, size=read_len))
+            cg = ""
+        if cigar is not None:
+            cg = cigar
         self._add(tid, pos, qname, flag, cg, mtid, mpos, tlen, seq, qual,
                   n_errors if nm is None else nm)
 
-    def _add(self, tid, pos, qname, flag, cigar_str, mtid, mpos, tlen, seq, qual, nm):
+    def add_cross_pair(self, tid1: int, pos1: int, tid2: int, pos2: int,
+                       read_len: int = 100, umi: str | None = None,
+                       n_errors: int = 0, qual: int = 35):
+        """Mates on different contigs (isize 0): the reference clusters each
+        end separately with a negative surrogate right key (gencore.cpp:311)."""
+        qname = self._qname(umi)
+        seq1, cg1 = self.read_seq(tid1, pos1, read_len, n_errors)
+        seq2, cg2 = self.read_seq(tid2, pos2, read_len, n_errors)
+        self._add(tid1, pos1, qname, 97, cg1, tid2, pos2, 0, seq1, qual, n_errors)
+        self._add(tid2, pos2, qname, 145, cg2, tid1, pos1, 0, seq2, qual, n_errors)
+
+    def add_pair_mi(self, tid: int, pos1: int, pos2: int, mi: str,
+                    read_len: int = 100, n_errors: int = 0, qual: int = 35):
+        """Pair carrying the UMI in an MI:Z: aux tag (bamutil.cpp:23-38)."""
+        qname = self._qname(None)
+        tlen = pos2 + read_len - pos1
+        seq1, cg1 = self.read_seq(tid, pos1, read_len, n_errors)
+        seq2, cg2 = self.read_seq(tid, pos2, read_len, n_errors)
+        mi_aux = b"MIZ" + mi.encode() + b"\x00"
+        self._add(tid, pos1, qname, 99, cg1, tid, pos2, tlen, seq1, qual,
+                  n_errors, extra_aux=mi_aux)
+        self._add(tid, pos2, qname, 147, cg2, tid, pos1, -tlen, seq2, qual,
+                  n_errors, extra_aux=mi_aux)
+
+    def _add(self, tid, pos, qname, flag, cigar_str, mtid, mpos, tlen, seq,
+             qual, nm, extra_aux: bytes = b""):
         codes = bam.seq_str_to_codes(seq)
-        cg = cig.from_string(cigar_str)
+        cg = cig.from_string(cigar_str) if cigar_str else np.zeros(0, dtype=np.uint32)
         if isinstance(qual, int):
             quals = np.full(len(seq), qual, dtype=np.uint8)
         else:
             quals = np.asarray(qual, dtype=np.uint8)
-        aux = b"NMC" + bytes([nm & 0xFF])
+        aux = b"NMC" + bytes([nm & 0xFF]) + extra_aux
         body = encode_record(tid, pos, qname.encode(), flag, 60, cg, mtid, mpos,
                              tlen, codes, quals, aux)
         self.records.append((tid if tid >= 0 else 1 << 30, pos, len(self.records), body))

@@ -180,3 +180,67 @@ def test_equivalence_variable_qname_lengths(tmp_path):
                         n_errors=int(rng.integers(0, 2)))
     o, v = run_both(sb, tmp_path)
     assert_equivalent(o, v)
+
+
+def test_equivalence_cross_contig_pairs(tmp_path):
+    """Cross-contig mates: each end clustered separately with negative
+    surrogate right keys + cross-contig qname selection (gencore.cpp:311,
+    group.cpp:80-99)."""
+    sb = SyntheticBam(seed=70, contig_len=200_000, n_contigs=3)
+    rng = np.random.default_rng(71)
+    for k in range(25):
+        t1, t2 = rng.choice(3, size=2, replace=False)
+        p1 = int(rng.integers(1000, 150_000))
+        p2 = int(rng.integers(1000, 150_000))
+        for _ in range(int(rng.choice([1, 2, 3]))):
+            sb.add_cross_pair(int(t1), p1, int(t2), p2,
+                              n_errors=int(rng.integers(0, 2)))
+    # plus some normal pairs in between
+    for k in range(20):
+        sb.add_pair(0, 2000 + 400 * k, 2150 + 400 * k)
+    o, v = run_both(sb, tmp_path)
+    assert_equivalent(o, v)
+
+
+def test_equivalence_mi_tag_umis(tmp_path):
+    """UMIs carried in MI:Z: aux tags instead of qnames (bamutil.cpp:23-38)."""
+    sb = SyntheticBam(seed=72, contig_len=100_000)
+    rng = np.random.default_rng(73)
+    for k in range(20):
+        pos = 1000 + 300 * k
+        mi = str(rng.choice(["AAAA_CCCC", "CCCC_AAAA", "GGGG_TTTT"]))
+        for _ in range(int(rng.choice([1, 2]))):
+            sb.add_pair_mi(0, pos, pos + 150, mi=mi)
+    o, v = run_both(sb, tmp_path, {"umi_prefix": ""})
+    assert_equivalent(o, v)
+
+
+def test_equivalence_far_apart_mates(tmp_path):
+    """Same-contig mates >=100kb apart take the cross-contig key path
+    (gencore.cpp:300-311)."""
+    sb = SyntheticBam(seed=74, contig_len=400_000)
+    for k in range(15):
+        p1 = 1000 + 500 * k
+        p2 = p1 + 250_000
+        sb.add_pair(0, p1, p2, read_len=100)
+        # bump tlen beyond the gap limit manually: add_pair computes tlen
+        # from positions, which already exceeds 100k here
+    o, v = run_both(sb, tmp_path)
+    assert_equivalent(o, v)
+
+
+def test_equivalence_placed_unmapped_no_cigar(tmp_path):
+    """Records with coordinates but no cigar (placed unmapped mates):
+    tid>=0/pos>=0 so they cluster; n_cigar==0 takes the SE len-clamp path
+    (group.cpp:355-360) and the no-M-segment scoring path."""
+    sb = SyntheticBam(seed=76, contig_len=100_000)
+    for k in range(10):
+        pos = 1000 + 500 * k
+        sb.add_pair(0, pos, pos + 120)
+        # placed-unmapped read pointing at a nearby mate, no cigar
+        sb.add_single(0, pos, read_len=80, flag=4 | 1, mtid=0, mpos=pos + 60,
+                      tlen=140, cigar="")
+        sb.add_single(0, pos + 60, read_len=90, flag=1, mtid=0, mpos=pos,
+                      tlen=-140, cigar="90M")
+    o, v = run_both(sb, tmp_path)
+    assert_equivalent(o, v)
