@@ -1,0 +1,219 @@
+"""Pallas TPU kernel for the consensus voting hot loop.
+
+The XLA formulation of the voting math (core.kernels._vote_core) lowers to
+~250 HLO ops, which this environment's TPU toolchain compiles at ~0.4s/op —
+minutes per shape. The Pallas kernel packs the whole per-position vote into
+one Mosaic kernel (single custom call), compiling in seconds and running at
+VPU speed.
+
+Layout: member tensors are [K, J, L] (K leading) so each grid block sees
+(K, TJ, L) with the aligned (sublane, lane) = (TJ, L) tile in the trailing
+dims. The kernel emits per-position candidate outputs + change/mismatch
+masks; a tiny XLA epilogue applies the reference's per-read rollback rule
+(mismatchInc > 5 -> restore, group.cpp:538-566).
+
+Semantics: identical to kernels._vote_core with full_bins=False (=ACGTN
+data; other data falls back to the XLA kernel). Equivalence is enforced by
+tests/test_pallas_vote.py in interpreter mode and, on TPU, compiled.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+I32 = jnp.int32
+BINS = (0, 1, 2, 4, 8, 15)  # non-empty bins for =ACGTN data (see kernels.py)
+
+
+SENTINEL = 255  # member-absent marker (never matches a bin or refbase)
+
+
+def _vote_block(seq, qual, score, refbase, hi, mod, lo, bsr, rnum, rden):
+    """Voting math on one block: seq/qual/score [K, TJ, L] (absent members
+    carry SENTINEL rows with qual=0/score=0), refbase [TJ, L]. Returns
+    (cand_seq, cand_qual, changed, minc_pos) each int32 [TJ, L]; position
+    masking by job length is applied in the XLA epilogue.
+
+    All masks are kept as int32 0/1 values with fresh comparisons at select
+    sites — Mosaic cannot re-truncate spilled i8 booleans to i1, and cannot
+    insert minor dims on sub-32-bit vectors, so no boolean or 3-D
+    intermediates are stored.
+    """
+    K, TJ, L = seq.shape
+    B = len(BINS)
+
+    zero = jnp.zeros((TJ, L), dtype=I32)
+    neg_inf = jnp.int32(-0x7FFFFFFF)
+    rb = refbase
+    has_ref = (rb != 0).astype(I32)
+
+    countsB = [zero] * B
+    scoresB = [zero] * B
+    qualsB = [zero] * B
+    topqB = [zero] * B
+    total_score = zero
+    ref_qual = zero
+    high_ref = zero
+
+    for k in range(K):
+        sk = seq[k]
+        sck = jnp.where(sk == SENTINEL, 0, score[k])
+        qlk = jnp.where(sk == SENTINEL, 0, qual[k])
+        total_score = total_score + sck
+        for bi, b in enumerate(BINS):
+            m = (sk == b).astype(I32)
+            countsB[bi] = countsB[bi] + m
+            scoresB[bi] = scoresB[bi] + m * sck
+            qualsB[bi] = qualsB[bi] + m * qlk
+            topqB[bi] = jnp.maximum(topqB[bi], m * qlk)
+        refm = (sk == rb).astype(I32) * has_ref
+        ref_qual = jnp.maximum(ref_qual, refm * qlk)
+        high_ref = jnp.maximum(high_ref, refm * (qlk >= hi).astype(I32))
+
+    # top election: lexmax of (score, qual, b) — see kernels.py proof
+    top_base = zero
+    top_score = jnp.full((TJ, L), neg_inf)
+    top_qual_sum = zero
+    for bi, b in enumerate(BINS):
+        better = ((scoresB[bi] > top_score) |
+                  ((scoresB[bi] == top_score) & (qualsB[bi] >= top_qual_sum))).astype(I32)
+        top_base = better * b + (1 - better) * top_base
+        top_score = better * scoresB[bi] + (1 - better) * top_score
+        top_qual_sum = better * qualsB[bi] + (1 - better) * top_qual_sum
+    vb = ((0 > top_score) |
+          ((top_score == 0) & (top_qual_sum <= 0) & (top_base < 14))).astype(I32)
+    top_base = vb * 14 + (1 - vb) * top_base
+    top_score = (1 - vb) * top_score
+    top_qual_sum = (1 - vb) * top_qual_sum
+
+    sec_base = zero
+    sec_score = jnp.full((TJ, L), neg_inf)
+    sec_qual_sum = zero
+    for bi, b in enumerate(BINS):
+        better = ((top_base != b) &
+                  ((scoresB[bi] > sec_score) |
+                   ((scoresB[bi] == sec_score) & (qualsB[bi] >= sec_qual_sum)))).astype(I32)
+        sec_base = better * b + (1 - better) * sec_base
+        sec_score = better * scoresB[bi] + (1 - better) * sec_score
+        sec_qual_sum = better * qualsB[bi] + (1 - better) * sec_qual_sum
+    vidx = jnp.where(top_base == 14, 13, 14)
+    vb = ((0 > sec_score) |
+          ((sec_score == 0) & (sec_qual_sum <= 0) & (sec_base < vidx))).astype(I32)
+    sec_base = vb * vidx + (1 - vb) * sec_base
+    sec_score = (1 - vb) * sec_score
+    sec_qual_sum = (1 - vb) * sec_qual_sum
+
+    def take_bin(arrs, idx):
+        out = zero
+        for bi, b in enumerate(BINS):
+            out = jnp.where(idx == b, arrs[bi], out)
+        return out
+
+    top_num = take_bin(countsB, top_base)
+    top_qual = take_bin(topqB, top_base)
+    sec_num = take_bin(countsB, sec_base)
+    sec_qsum = take_bin(qualsB, sec_base)
+
+    accept_early = ((sec_num == 0) & (top_score >= bsr) & (top_qual >= mod)).astype(I32)
+
+    nr = ((sec_num == 0).astype(I32)) * (1 - accept_early)
+    low_sec = (sec_qsum <= lo).astype(I32)
+    nr1a = ((top_num < 2) & (top_qual < hi)).astype(I32)
+    nr1b = ((top_num < 3) | (top_qual < hi)).astype(I32)
+    nr = jnp.maximum(nr, (sec_num == 1).astype(I32) *
+                     (low_sec * nr1a + (1 - low_sec) * nr1b))
+    nr = jnp.maximum(nr, (sec_num > 1).astype(I32) *
+                     ((top_score * rden < rnum * total_score) |
+                      (top_qual < mod)).astype(I32))
+    nr = jnp.maximum(nr, ((top_score < bsr) | (top_qual <= lo)).astype(I32))
+
+    do_ref = nr * has_ref * (1 - accept_early)
+
+    sel = do_ref * high_ref
+    top_base2 = sel * rb + (1 - sel) * top_base
+    sel = do_ref * (top_qual < mod).astype(I32)
+    top_base2 = sel * rb + (1 - sel) * top_base2
+    sel = do_ref * (top_base2 == rb).astype(I32)
+    top_qual2 = sel * ref_qual + (1 - sel) * top_qual
+
+    out_base = seq[0]
+
+    changed = (1 - accept_early) * (out_base != top_base2).astype(I32)
+    cand_seq = changed * top_base2 + (1 - changed) * out_base
+    cand_qual = accept_early * top_qual + (1 - accept_early) * top_qual2
+    inner = jnp.where(out_base == rb, 1, jnp.where(top_base2 == rb, -1, 0))
+    minc_pos = changed * has_ref * inner
+    return cand_seq, cand_qual, changed, minc_pos
+
+
+def _kernel(seq_ref, qual_ref, score_ref, ref_ref,
+            cseq_ref, cqual_ref, chg_ref, minc_ref, *, hi, mod, lo, bsr,
+            rnum, rden):
+    cs, cq, ch, mi = _vote_block(
+        seq_ref[:], qual_ref[:], score_ref[:], ref_ref[:],
+        hi, mod, lo, bsr, rnum, rden)
+    cseq_ref[:] = cs
+    cqual_ref[:] = cq
+    chg_ref[:] = ch
+    minc_ref[:] = mi
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "hi", "mod", "lo", "base_score_req", "ratio_num", "ratio_den", "tj",
+    "interpret"))
+def pallas_vote(seq, qual, score, valid, job_len, refbase, *, hi, mod, lo,
+                base_score_req, ratio_num, ratio_den, tj=256,
+                interpret=False):
+    """Pallas-backed voting over gathered member tensors.
+
+    seq/qual [K, J, L] uint8, score [K, J, L] int8, valid [K, J] (any int),
+    job_len [J] int32, refbase [J, L] uint8. J must be a multiple of tj.
+    Returns (new_seq, new_qual, diff, minc) matching kernels._vote_core
+    (full_bins=False) including rollback.
+    """
+    K, J, L = seq.shape
+    grid = (J // tj,)
+    kern = functools.partial(_kernel, hi=hi, mod=mod, lo=lo,
+                             bsr=base_score_req, rnum=ratio_num, rden=ratio_den)
+    # absent members become SENTINEL rows with zero qual/score; everything
+    # is widened to int32 — Mosaic on this target rejects packed sub-32-bit
+    # comparisons, and HBM/VMEM traffic at these sizes is not the bottleneck
+    invalid = ~(valid.astype(bool))
+    seq_s = jnp.where(invalid[:, :, None], SENTINEL, seq.astype(I32))
+    qual_s = jnp.where(invalid[:, :, None], 0, qual.astype(I32))
+    score_s = jnp.where(invalid[:, :, None], 0, score.astype(I32))
+    refbase = refbase.astype(I32)
+    out_shapes = tuple(jax.ShapeDtypeStruct((J, L), I32) for _ in range(4))
+    member_spec = pl.BlockSpec((K, tj, L), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tj, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    cseq, cqual, chg, minc_pos = pl.pallas_call(
+        kern,
+        grid=grid,
+        out_shape=out_shapes,
+        in_specs=[member_spec, member_spec, member_spec, out_spec],
+        out_specs=(out_spec, out_spec, out_spec, out_spec),
+        interpret=interpret,
+    )(seq_s, qual_s, score_s, refbase)
+
+    # epilogue: job-length masking, per-read reductions, rollback
+    # (group.cpp:528-573)
+    pos_valid = jnp.arange(L, dtype=I32)[None, :] < job_len[:, None]
+    tmpl_seq = seq[0].astype(I32)
+    tmpl_qual = qual[0].astype(I32)
+    chg = jnp.where(pos_valid, chg, 0)
+    minc_pos = jnp.where(pos_valid, minc_pos, 0)
+    cseq = jnp.where(pos_valid, cseq, tmpl_seq)
+    cqual = jnp.where(pos_valid, cqual, tmpl_qual)
+    diff = chg.sum(axis=1)
+    minc = minc_pos.sum(axis=1)
+    rollback = (minc > 5)[:, None]
+    new_seq = jnp.where(rollback, tmpl_seq, cseq).astype(jnp.uint8)
+    new_qual = jnp.where(rollback, tmpl_qual, cqual).astype(jnp.uint8)
+    return new_seq, new_qual, diff, minc

@@ -757,9 +757,17 @@ class VectorEngine:
                    seq_dev, qual_dev, score_dev):
         if not jobs:
             return
+        import os
+        import jax
         o = self.opt
         rnum, rden = kernels.ratio_fraction(o.score_percent_req)
         L = work.L
+        force = os.environ.get("GENCORE_FORCE_PALLAS", "")
+        use_pallas = (not full_bins
+                      and (force != ""
+                           or (jax.default_backend() != "cpu"
+                               and not os.environ.get("GENCORE_NO_PALLAS"))))
+        self._pallas_interpret = force == "interp"
         buckets: dict = {}
         for ji, job in enumerate(jobs):
             kb = _next_pow2(max(job.k, 1))
@@ -777,6 +785,7 @@ class VectorEngine:
             fast_k = []
             fast_fs = []
             fast_side = []
+            shifted_jj = []
             for jj, ji in enumerate(jlist):
                 job = jobs[ji]
                 if job.flat_start >= 0:
@@ -785,14 +794,18 @@ class VectorEngine:
                     fast_fs.append(job.flat_start)
                     fast_side.append(job.is_left_side)
                 else:
+                    any_shift = False
                     for k, rj in enumerate(job.members_reads):
                         rows[jj, k] = work.row_of_one(rj)
                         valid[jj, k] = True
                         if not job.left_read_mode:
                             d = job.len_diffs[k]
                             # collected members are never shorter than the
-                            # template (group.cpp:309 containment), so d >= 0
+                            # template (group.cpp:309), so d >= 0
                             shifts[jj, k] = max(d, 0)
+                            any_shift = any_shift or d > 0
+                    if any_shift:
+                        shifted_jj.append(jj)
             if fast_jj:
                 jj_arr = np.asarray(fast_jj)
                 k_arr = np.asarray(fast_k)
@@ -802,33 +815,105 @@ class VectorEngine:
                 jrep = np.repeat(jj_arr, k_arr)
                 krep = np.arange(tot) - np.repeat(
                     np.cumsum(np.append(0, k_arr[:-1])), k_arr)
-                src = np.repeat(fs_arr, k_arr) + krep
-                fl = flats[True]
-                fr = flats[False]
+                srcj = np.repeat(fs_arr, k_arr) + krep
+                # np.where evaluates both branches: guard empty flats
+                fl = flats[True] if len(flats[True]) else np.zeros(1, dtype=np.int64)
+                fr = flats[False] if len(flats[False]) else np.zeros(1, dtype=np.int64)
                 lr = np.repeat(side_arr, k_arr)
                 vals = np.where(
-                    lr, fl[np.clip(src, 0, max(len(fl) - 1, 0))],
-                    fr[np.clip(src, 0, max(len(fr) - 1, 0))])
+                    lr, fl[np.clip(srcj, 0, max(len(fl) - 1, 0))],
+                    fr[np.clip(srcj, 0, max(len(fr) - 1, 0))])
                 rows[jrep, krep] = vals
                 valid[jrep, krep] = True
 
             refbase = np.zeros((J2, work.L), dtype=np.uint8)
             refbase[:J] = self._refbase_batch([jobs[ji] for ji in jlist], batch)
-            new_seq, new_qual, diff, minc = kernels.fused_vote_kernel(
-                seq_dev, qual_dev, score_dev, rows, shifts, valid, jl_arr,
-                refbase, hi=o.high_quality, mod=o.moderate_quality,
-                lo=o.low_quality, base_score_req=o.base_score_req,
-                ratio_num=rnum, ratio_den=rden, full_bins=full_bins)
-            new_seq = np.asarray(new_seq)
-            new_qual = np.asarray(new_qual)
-            diff = np.asarray(diff)
-            minc = np.asarray(minc)
+
+            if use_pallas:
+                outs = self._vote_pallas(kb, rows, shifts, valid, jl_arr,
+                                         refbase, shifted_jj, work,
+                                         seq_dev, qual_dev, score_dev,
+                                         rnum, rden)
+            else:
+                outs = kernels.fused_vote_kernel(
+                    seq_dev, qual_dev, score_dev, rows, shifts, valid, jl_arr,
+                    refbase, hi=o.high_quality, mod=o.moderate_quality,
+                    lo=o.low_quality, base_score_req=o.base_score_req,
+                    ratio_num=rnum, ratio_den=rden, full_bins=full_bins)
+            new_seq, new_qual, diff, minc = [np.asarray(x) for x in outs]
             for jj, ji in enumerate(jlist):
                 job = jobs[ji]
                 job.new_seq = new_seq[jj]
                 job.new_qual = new_qual[jj]
                 job.diff = int(diff[jj])
                 job.minc = int(minc[jj])
+
+    def _vote_pallas(self, kb, rows, shifts, valid, jl_arr, refbase,
+                     shifted_jj, work, seq_dev, qual_dev, score_dev,
+                     rnum, rden):
+        """TPU voting via the Pallas kernel: device row-gather + pallas vote;
+        the rare lenDiff-shifted jobs (right-mode mixed-length members,
+        group.cpp:339-349) are re-gathered host-side with shifts applied and
+        voted in a second small pallas call."""
+        from gencore_tpu.core import pallas_vote
+        o = self.opt
+        tj = max(8, 512 // kb)
+        J2 = rows.shape[0]
+        if J2 < tj:
+            pad = tj - J2
+            rows = np.pad(rows, ((0, pad), (0, 0)), constant_values=work.dummy_row)
+            shifts = np.pad(shifts, ((0, pad), (0, 0)))
+            valid = np.pad(valid, ((0, pad), (0, 0)))
+            jl_arr = np.pad(jl_arr, (0, pad))
+            refbase = np.pad(refbase, ((0, pad), (0, 0)))
+            J2 = tj
+        g_seq, g_qual, g_score = _gather_rows_T(seq_dev, qual_dev, score_dev,
+                                                rows.T)
+        kw = dict(hi=o.high_quality, mod=o.moderate_quality, lo=o.low_quality,
+                  base_score_req=o.base_score_req, ratio_num=rnum,
+                  ratio_den=rden, tj=tj,
+                  interpret=getattr(self, "_pallas_interpret", False))
+        out = pallas_vote.pallas_vote(g_seq, g_qual, g_score, valid.T,
+                                      jl_arr, refbase, **kw)
+        out = [np.asarray(x) for x in out]
+        if shifted_jj:
+            out = [np.array(x) for x in out]  # writable copies for overwrite
+            # host re-gather with shifts for the affected jobs only
+            sj = np.asarray(shifted_jj)
+            n_s = len(sj)
+            S2 = max(tj, _next_pow2(n_s))
+            L = work.L
+            hseq = np.full((kb, S2, L), pallas_vote.SENTINEL, dtype=np.uint8)
+            hqual = np.zeros((kb, S2, L), dtype=np.uint8)
+            hscore = np.zeros((kb, S2, L), dtype=np.int8)
+            hvalid = np.zeros((kb, S2), dtype=bool)
+            need_rows = np.unique(rows[sj].ravel())
+            qual_rows, score_rows = _pull_rows(qual_dev, score_dev, need_rows)
+            qmap = {int(r): i for i, r in enumerate(need_rows)}
+            for si, jj in enumerate(sj):
+                for k in range(kb):
+                    if not valid[jj, k]:
+                        continue
+                    r = int(rows[jj, k])
+                    d = int(shifts[jj, k])
+                    qrow = qual_rows[qmap[r]]
+                    srow = score_rows[qmap[r]]
+                    seqrow = work.seq[r]
+                    hseq[k, si, :L - d] = seqrow[d:]
+                    hqual[k, si, :L - d] = qrow[d:]
+                    hscore[k, si, :L - d] = srow[d:]
+                    hvalid[k, si] = True
+            sout = pallas_vote.pallas_vote(
+                hseq, hqual, hscore, hvalid,
+                np.pad(jl_arr[sj], (0, S2 - n_s)),
+                np.pad(refbase[sj], ((0, S2 - n_s), (0, 0))), **kw)
+            sout = [np.asarray(x) for x in sout]
+            for si, jj in enumerate(sj):
+                out[0][jj] = sout[0][si]
+                out[1][jj] = sout[1][si]
+                out[2][jj] = sout[2][si]
+                out[3][jj] = sout[3][si]
+        return out
 
     # ------------------------------------------------------------------
     def _assemble_group(self, gi, pair_ids, is_single, cross_contig,
@@ -982,6 +1067,37 @@ class VectorEngine:
         m = batch.data[g].copy()
         m[cols[None, :] >= lens[:, None]] = 0
         return m, w
+
+
+import functools as _functools
+
+
+@_functools.cache
+def _gather_fns():
+    import jax
+
+    @jax.jit
+    def g3(seq_dev, qual_dev, score_dev, rows_t):
+        return seq_dev[rows_t], qual_dev[rows_t], score_dev[rows_t]
+
+    @jax.jit
+    def g2(qual_dev, score_dev, rows):
+        return qual_dev[rows], score_dev[rows]
+
+    return g3, g2
+
+
+def _gather_rows_T(seq_dev, qual_dev, score_dev, rows_t):
+    g3, _ = _gather_fns()
+    return g3(seq_dev, qual_dev, score_dev, rows_t)
+
+
+def _pull_rows(qual_dev, score_dev, need_rows):
+    _, g2 = _gather_fns()
+    n2 = _next_pow2(max(len(need_rows), 1))
+    padded = np.pad(need_rows, (0, n2 - len(need_rows)))
+    q, s = g2(qual_dev, score_dev, padded.astype(np.int32))
+    return np.asarray(q), np.asarray(s)
 
 
 class _WorkArrays:

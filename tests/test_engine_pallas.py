@@ -1,0 +1,44 @@
+"""Engine with the Pallas voting path (interpret mode on CPU) must match
+the default XLA path and the oracle."""
+
+import os
+
+import pytest
+
+from tests.test_engine_equivalence import (assert_equivalent,
+                                           make_random_workload, run_both)
+
+
+@pytest.fixture
+def force_pallas():
+    os.environ["GENCORE_FORCE_PALLAS"] = "interp"
+    yield
+    del os.environ["GENCORE_FORCE_PALLAS"]
+
+
+def test_pallas_engine_equivalence(tmp_path, force_pallas):
+    sb = make_random_workload(90, n_fragments=60, umi_mode="duplex",
+                              contig_len=300_000, n_contigs=1)
+    o, v = run_both(sb, tmp_path)
+    assert_equivalent(o, v)
+
+
+def test_pallas_engine_shifted_members(tmp_path, force_pallas):
+    """Right-mode jobs with lenDiff shifts route through the host re-gather
+    + second pallas call."""
+    from tests.datagen import SyntheticBam
+    sb = SyntheticBam(seed=91, contig_len=100_000)
+    # mixed-length right reads ending at the same ref pos (right-aligned
+    # containment): lengths differ -> lenDiff shifts
+    for k in range(10):
+        pos1 = 1000 + 400 * k
+        end2 = pos1 + 240
+        sb.add_pair(0, pos1, end2 - 100, read_len=100)
+        # second pair: shorter right read at a later pos, same right end
+        qname = sb._qname(None)
+        seq1, cg1 = sb.read_seq(0, pos1, 100)
+        seq2, cg2 = sb.read_seq(0, end2 - 80, 80)
+        sb._add(0, pos1, qname, 99, cg1, 0, end2 - 80, 240, seq1, 35, 0)
+        sb._add(0, end2 - 80, qname, 147, cg2, 0, pos1, -240, seq2, 35, 0)
+    o, v = run_both(sb, tmp_path)
+    assert_equivalent(o, v)
