@@ -258,10 +258,13 @@ class VectorEngine:
         # ---- working arrays + cigar metadata ----
         _T = self.timer.stage
         max_len = int(batch.l_qseq[cidx].max())
-        # round L up so compiled kernel shapes recur across workloads
-        # (jit compiles are expensive on remote-attached TPUs; shapes are
-        # bucketed and cached persistently — see cli/bench cache config)
-        self.max_len = max(((max_len + 31) // 32) * 32, 32)
+        # round L up so compiled kernel shapes recur across workloads (jit
+        # compiles are expensive on remote-attached TPUs; shapes are bucketed
+        # and cached persistently — see cli/bench cache config). The Pallas
+        # path needs lane-aligned L (multiple of 128) to block properly.
+        import jax as _jax
+        lane = 32 if _jax.default_backend() == "cpu" else 128
+        self.max_len = max(((max_len + lane - 1) // lane) * lane, lane)
         with _T("materialize"):
             work = _WorkArrays(batch, cidx, self.max_len,
                                default_score=opt.score_not_overlapped_moderate_qual)
@@ -857,7 +860,9 @@ class VectorEngine:
         voted in a second small pallas call."""
         from gencore_tpu.core import pallas_vote
         o = self.opt
-        tj = max(8, 512 // kb)
+        # VMEM: ~36 live [tj, L] i32 temporaries in the kernel + double-buffered
+        # block IO must fit in 16MB -> cap tj at 128 and shrink with K
+        tj = max(8, min(128, 1024 // kb))
         J2 = rows.shape[0]
         if J2 < tj:
             pad = tj - J2
