@@ -69,7 +69,21 @@ def main():
     from gencore_tpu.io.fasta import FastaRef
     from gencore_tpu.options import Options
 
+    # probe the accelerator first: a wedged remote TPU tunnel must not hang
+    # the bench — fall back to CPU with a visible marker instead
+    import subprocess
+    tpu_ok = True
+    if not os.environ.get("GENCORE_NO_PROBE"):
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=120)
+            tpu_ok = probe.returncode == 0
+        except subprocess.TimeoutExpired:
+            tpu_ok = False
     import jax
+    if not tpu_ok:
+        jax.config.update("jax_platforms", "cpu")
     # persistent XLA compile cache: fused-kernel compiles are expensive on a
     # remote-attached TPU (~2-3 min/shape); shapes are padded to recur
     cache_dir = os.path.join(BENCH_DIR, "jax_cache")

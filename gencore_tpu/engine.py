@@ -263,11 +263,13 @@ class VectorEngine:
         # and cached persistently — see cli/bench cache config). The Pallas
         # path needs lane-aligned L (multiple of 128) to block properly.
         import jax as _jax
-        lane = 32 if _jax.default_backend() == "cpu" else 128
+        self._pad_shapes = _jax.default_backend() != "cpu"
+        lane = 128 if self._pad_shapes else 32
         self.max_len = max(((max_len + lane - 1) // lane) * lane, lane)
         with _T("materialize"):
             work = _WorkArrays(batch, cidx, self.max_len,
-                               default_score=opt.score_not_overlapped_moderate_qual)
+                               default_score=opt.score_not_overlapped_moderate_qual,
+                               pad_pow2=self._pad_shapes)
             self.work = work
             ct = CigarTable(batch, cidx)
             # read matrices live on device for the fused kernel pipeline
@@ -685,9 +687,10 @@ class VectorEngine:
         rs = np.where(fwd, rmo, rmo - pos_dis)
         cl = np.where(fwd, np.minimum(lml - pos_dis, rml),
                       np.minimum(lml, rml + pos_dis))
-        # pad P to a power of two; padded lanes target the dummy sink row
+        # pad P to a power of two (TPU: stable compiled shapes); padded
+        # lanes target the dummy sink row
         P = len(sel)
-        P2 = _next_pow2(max(P, 1))
+        P2 = _next_pow2(max(P, 1)) if self._pad_shapes else P
         dummy = work.dummy_row
 
         def padp(a, fill):
@@ -778,7 +781,7 @@ class VectorEngine:
 
         for kb, jlist in sorted(buckets.items()):
             J = len(jlist)
-            J2 = _next_pow2(max(J, 1))
+            J2 = _next_pow2(max(J, 1)) if self._pad_shapes else J
             rows = np.full((J2, kb), work.dummy_row, dtype=np.int32)
             shifts = np.zeros((J2, kb), dtype=np.int32)
             valid = np.zeros((J2, kb), dtype=bool)
@@ -1111,11 +1114,12 @@ class _WorkArrays:
     power of two (+1 dummy row used as a scatter/gather sink for padded
     lanes) so compiled kernel shapes recur across workloads."""
 
-    def __init__(self, batch, cidx: np.ndarray, max_len: int, default_score: int = 6):
+    def __init__(self, batch, cidx: np.ndarray, max_len: int,
+                 default_score: int = 6, pad_pow2: bool = True):
         self.L = max_len
         self.cidx = cidx
         n = len(cidx)
-        n_pad = _next_pow2(n + 1)
+        n_pad = _next_pow2(n + 1) if pad_pow2 else n + 1
         seq = batch.seq_matrix(cidx, max_len)
         qual = batch.qual_matrix(cidx, max_len)
         self.seq = np.zeros((n_pad, max_len), dtype=np.uint8)
