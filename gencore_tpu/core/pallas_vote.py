@@ -167,46 +167,41 @@ def _kernel(seq_ref, qual_ref, score_ref, ref_ref,
 @functools.partial(jax.jit, static_argnames=(
     "hi", "mod", "lo", "base_score_req", "ratio_num", "ratio_den", "tj",
     "interpret"))
-def pallas_vote(seq, qual, score, valid, job_len, refbase, *, hi, mod, lo,
-                base_score_req, ratio_num, ratio_den, tj=256,
-                interpret=False):
-    """Pallas-backed voting over gathered member tensors.
-
-    seq/qual [K, J, L] uint8, score [K, J, L] int8, valid [K, J] (any int),
-    job_len [J] int32, refbase [J, L] uint8. J must be a multiple of tj.
-    Returns (new_seq, new_qual, diff, minc) matching kernels._vote_core
-    (full_bins=False) including rollback.
-    """
+def _pallas_stage(seq, qual, score, refbase, valid, *, hi, mod, lo,
+                  base_score_req, ratio_num, ratio_den, tj, interpret):
+    """The pallas_call in its own jit: its outputs are program results, so
+    XLA materializes them to HBM instead of stack-allocating the full
+    arrays in scoped VMEM (which OOMs for large J)."""
     K, J, L = seq.shape
     grid = (J // tj,)
     kern = functools.partial(_kernel, hi=hi, mod=mod, lo=lo,
                              bsr=base_score_req, rnum=ratio_num, rden=ratio_den)
-    # absent members become SENTINEL rows with zero qual/score; everything
-    # is widened to int32 — Mosaic on this target rejects packed sub-32-bit
-    # comparisons, and HBM/VMEM traffic at these sizes is not the bottleneck
     invalid = ~(valid.astype(bool))
     seq_s = jnp.where(invalid[:, :, None], SENTINEL, seq.astype(I32))
     qual_s = jnp.where(invalid[:, :, None], 0, qual.astype(I32))
     score_s = jnp.where(invalid[:, :, None], 0, score.astype(I32))
-    refbase = refbase.astype(I32)
     out_shapes = tuple(jax.ShapeDtypeStruct((J, L), I32) for _ in range(4))
     member_spec = pl.BlockSpec((K, tj, L), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((tj, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    cseq, cqual, chg, minc_pos = pl.pallas_call(
+    return pl.pallas_call(
         kern,
         grid=grid,
         out_shape=out_shapes,
         in_specs=[member_spec, member_spec, member_spec, out_spec],
         out_specs=(out_spec, out_spec, out_spec, out_spec),
         interpret=interpret,
-    )(seq_s, qual_s, score_s, refbase)
+    )(seq_s, qual_s, score_s, refbase.astype(I32))
 
-    # epilogue: job-length masking, per-read reductions, rollback
-    # (group.cpp:528-573)
+
+@functools.partial(jax.jit, static_argnames=(
+    "hi", "mod", "lo", "base_score_req", "ratio_num", "ratio_den"))
+def _epilogue(cseq, cqual, chg, minc_pos, seq0, qual0, job_len, *, hi, mod,
+              lo, base_score_req, ratio_num, ratio_den):
+    J, L = cseq.shape
     pos_valid = jnp.arange(L, dtype=I32)[None, :] < job_len[:, None]
-    tmpl_seq = seq[0].astype(I32)
-    tmpl_qual = qual[0].astype(I32)
+    tmpl_seq = seq0.astype(I32)
+    tmpl_qual = qual0.astype(I32)
     chg = jnp.where(pos_valid, chg, 0)
     minc_pos = jnp.where(pos_valid, minc_pos, 0)
     cseq = jnp.where(pos_valid, cseq, tmpl_seq)
@@ -217,3 +212,28 @@ def pallas_vote(seq, qual, score, valid, job_len, refbase, *, hi, mod, lo,
     new_seq = jnp.where(rollback, tmpl_seq, cseq).astype(jnp.uint8)
     new_qual = jnp.where(rollback, tmpl_qual, cqual).astype(jnp.uint8)
     return new_seq, new_qual, diff, minc
+
+
+def pallas_vote(seq, qual, score, valid, job_len, refbase, *, hi, mod, lo,
+                base_score_req, ratio_num, ratio_den, tj=256,
+                interpret=False):
+    """Pallas-backed voting over gathered member tensors.
+
+    seq/qual [K, J, L] uint8, score [K, J, L] int8, valid [K, J] (any int),
+    job_len [J] int32, refbase [J, L] uint8. J must be a multiple of tj.
+    Returns (new_seq, new_qual, diff, minc) matching kernels._vote_core
+    (full_bins=False) including rollback.
+    """
+    """Pallas-backed voting over gathered member tensors.
+
+    seq/qual [K, J, L] uint8, score [K, J, L] int8, valid [K, J] (any int),
+    job_len [J] int32, refbase [J, L] uint8. J must be a multiple of tj.
+    Returns (new_seq, new_qual, diff, minc) matching kernels._vote_core
+    (full_bins=False) including rollback.
+    """
+    kw = dict(hi=hi, mod=mod, lo=lo, base_score_req=base_score_req,
+              ratio_num=ratio_num, ratio_den=ratio_den)
+    cseq, cqual, chg, minc_pos = _pallas_stage(
+        seq, qual, score, refbase, valid, tj=tj, interpret=interpret, **kw)
+    return _epilogue(cseq, cqual, chg, minc_pos, seq[0], qual[0],
+                     jnp.asarray(job_len, dtype=I32), **kw)
