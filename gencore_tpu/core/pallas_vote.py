@@ -217,6 +217,7 @@ def _epilogue(cseq, cqual, chg, minc_pos, seq0, qual0, job_len, *, hi, mod,
 def pallas_vote(seq, qual, score, valid, job_len, refbase, *, hi, mod, lo,
                 base_score_req, ratio_num, ratio_den, tj=256,
                 interpret=False):
+    tj = _TJ_USED.get(tj, tj)
     """Pallas-backed voting over gathered member tensors.
 
     seq/qual [K, J, L] uint8, score [K, J, L] int8, valid [K, J] (any int),
@@ -233,7 +234,22 @@ def pallas_vote(seq, qual, score, valid, job_len, refbase, *, hi, mod, lo,
     """
     kw = dict(hi=hi, mod=mod, lo=lo, base_score_req=base_score_req,
               ratio_num=ratio_num, ratio_den=ratio_den)
-    cseq, cqual, chg, minc_pos = _pallas_stage(
-        seq, qual, score, refbase, valid, tj=tj, interpret=interpret, **kw)
+    # self-tuning tile: halve on scoped-VMEM OOM (remote toolchains vary)
+    cur = tj
+    while True:
+        try:
+            cseq, cqual, chg, minc_pos = _pallas_stage(
+                seq, qual, score, refbase, valid, tj=cur,
+                interpret=interpret, **kw)
+            break
+        except Exception as e:  # jax.errors.JaxRuntimeError on compile OOM
+            if cur > 8 and "vmem" in str(e).lower():
+                cur //= 2
+                continue
+            raise
+    _TJ_USED[tj] = cur
     return _epilogue(cseq, cqual, chg, minc_pos, seq[0], qual[0],
                      jnp.asarray(job_len, dtype=I32), **kw)
+
+
+_TJ_USED: dict = {}
