@@ -82,7 +82,23 @@ def main():
         except subprocess.TimeoutExpired:
             tpu_ok = False
     import jax
-    if not tpu_ok:
+    transport_degraded = False
+    if tpu_ok and not os.environ.get("GENCORE_FORCE_TPU"):
+        # calibrate the device transport: a remote-attached chip behind a
+        # slow tunnel loses to host CPU for this host-I/O-heavy workload
+        try:
+            import numpy as _np
+            import jax.numpy as _jnp
+            x = _np.zeros((8 << 20,), dtype=_np.uint8)
+            f = jax.jit(lambda a: a.astype(_jnp.int32).sum())
+            f(x).block_until_ready()
+            t = time.time()
+            f(_np.ones((8 << 20,), dtype=_np.uint8)).block_until_ready()
+            mbps = 8.0 / max(time.time() - t, 1e-6)
+            transport_degraded = mbps < 100.0
+        except Exception:
+            transport_degraded = True
+    if not tpu_ok or transport_degraded:
         jax.config.update("jax_platforms", "cpu")
     # persistent XLA compile cache: fused-kernel compiles are expensive on a
     # remote-attached TPU (~2-3 min/shape); shapes are padded to recur
@@ -134,6 +150,7 @@ def main():
             "warm_run_s": round(warm_s, 2),
             "setup_s": round(setup_s, 2),
             "baseline_rps_assumed": BASELINE_RPS,
+            "tpu_transport_degraded": transport_degraded,
         },
     }
     print(json.dumps(result))

@@ -272,10 +272,12 @@ class VectorEngine:
                                pad_pow2=self._pad_shapes)
             self.work = work
             ct = CigarTable(batch, cidx)
-            # read matrices live on device for the fused kernel pipeline
+            # read matrices live on device for the fused kernel pipeline.
+            # Upload via a jit identity: on remote-attached chips the
+            # device_put path can be orders of magnitude slower than
+            # execute-argument transfer.
             import jax
-            seq_dev = jax.device_put(work.seq)
-            qual_dev = jax.device_put(work.qual)
+            seq_dev, qual_dev = _upload_fn()(work.seq, work.qual)
 
         rl = work.row_of(pl)
         has_right = pr >= 0
@@ -1078,6 +1080,17 @@ class VectorEngine:
 
 
 import functools as _functools
+
+
+@_functools.cache
+def _upload_fn():
+    import jax
+
+    @jax.jit
+    def up(a, b):
+        return a, b
+
+    return up
 
 
 @_functools.cache
