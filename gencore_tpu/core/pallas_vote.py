@@ -195,9 +195,9 @@ def _pallas_stage(seq, qual, score, refbase, valid, *, hi, mod, lo,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "hi", "mod", "lo", "base_score_req", "ratio_num", "ratio_den"))
+    "hi", "mod", "lo", "base_score_req", "ratio_num", "ratio_den", "out_len"))
 def _epilogue(cseq, cqual, chg, minc_pos, seq0, qual0, job_len, *, hi, mod,
-              lo, base_score_req, ratio_num, ratio_den):
+              lo, base_score_req, ratio_num, ratio_den, out_len=None):
     J, L = cseq.shape
     pos_valid = jnp.arange(L, dtype=I32)[None, :] < job_len[:, None]
     tmpl_seq = seq0.astype(I32)
@@ -211,12 +211,16 @@ def _epilogue(cseq, cqual, chg, minc_pos, seq0, qual0, job_len, *, hi, mod,
     rollback = (minc > 5)[:, None]
     new_seq = jnp.where(rollback, tmpl_seq, cseq).astype(jnp.uint8)
     new_qual = jnp.where(rollback, tmpl_qual, cqual).astype(jnp.uint8)
+    if out_len is not None and out_len < L:
+        # slice to the true data length before the device->host transfer
+        new_seq = new_seq[:, :out_len]
+        new_qual = new_qual[:, :out_len]
     return new_seq, new_qual, diff, minc
 
 
 def pallas_vote(seq, qual, score, valid, job_len, refbase, *, hi, mod, lo,
                 base_score_req, ratio_num, ratio_den, tj=256,
-                interpret=False):
+                interpret=False, out_len=None):
     tj = _TJ_USED.get(tj, tj)
     """Pallas-backed voting over gathered member tensors.
 
@@ -249,7 +253,7 @@ def pallas_vote(seq, qual, score, valid, job_len, refbase, *, hi, mod, lo,
             raise
     _TJ_USED[tj] = cur
     return _epilogue(cseq, cqual, chg, minc_pos, seq[0], qual[0],
-                     jnp.asarray(job_len, dtype=I32), **kw)
+                     jnp.asarray(job_len, dtype=I32), out_len=out_len, **kw)
 
 
 _TJ_USED: dict = {}

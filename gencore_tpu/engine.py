@@ -266,6 +266,8 @@ class VectorEngine:
         self._pad_shapes = _jax.default_backend() != "cpu"
         lane = 128 if self._pad_shapes else 32
         self.max_len = max(((max_len + lane - 1) // lane) * lane, lane)
+        # true data length: device->host transfers slice to this
+        self.out_len = max(((max_len + 7) // 8) * 8, 8)
         with _T("materialize"):
             work = _WorkArrays(batch, cidx, self.max_len,
                                default_score=opt.score_not_overlapped_moderate_qual,
@@ -866,17 +868,19 @@ class VectorEngine:
         from gencore_tpu.core import pallas_vote
         o = self.opt
         # VMEM: ~36 live [tj, L] i32 temporaries in the kernel + double-buffered
-        # block IO must fit in 16MB -> cap tj at 128 and shrink with K
-        tj = max(8, min(128, 1024 // kb))
+        # block IO must fit in scoped VMEM; start small (failed compile
+        # attempts cost seconds on a remote toolchain) — pallas_vote halves
+        # further on OOM
+        tj = max(8, min(32, 1024 // kb))
         J2 = rows.shape[0]
-        if J2 < tj:
-            pad = tj - J2
+        if J2 % tj:
+            pad = tj - J2 % tj
             rows = np.pad(rows, ((0, pad), (0, 0)), constant_values=work.dummy_row)
             shifts = np.pad(shifts, ((0, pad), (0, 0)))
             valid = np.pad(valid, ((0, pad), (0, 0)))
             jl_arr = np.pad(jl_arr, (0, pad))
             refbase = np.pad(refbase, ((0, pad), (0, 0)))
-            J2 = tj
+            J2 += pad
         g_seq, g_qual, g_score = _gather_rows_T(seq_dev, qual_dev, score_dev,
                                                 rows.T)
         kw = dict(hi=o.high_quality, mod=o.moderate_quality, lo=o.low_quality,
@@ -884,14 +888,15 @@ class VectorEngine:
                   ratio_den=rden, tj=tj,
                   interpret=getattr(self, "_pallas_interpret", False))
         out = pallas_vote.pallas_vote(g_seq, g_qual, g_score, valid.T,
-                                      jl_arr, refbase, **kw)
+                                      jl_arr, refbase,
+                                      out_len=self.out_len, **kw)
         out = [np.asarray(x) for x in out]
         if shifted_jj:
             out = [np.array(x) for x in out]  # writable copies for overwrite
             # host re-gather with shifts for the affected jobs only
             sj = np.asarray(shifted_jj)
             n_s = len(sj)
-            S2 = max(tj, _next_pow2(n_s))
+            S2 = ((max(n_s, 1) + tj - 1) // tj) * tj
             L = work.L
             hseq = np.full((kb, S2, L), pallas_vote.SENTINEL, dtype=np.uint8)
             hqual = np.zeros((kb, S2, L), dtype=np.uint8)
@@ -916,7 +921,8 @@ class VectorEngine:
             sout = pallas_vote.pallas_vote(
                 hseq, hqual, hscore, hvalid,
                 np.pad(jl_arr[sj], (0, S2 - n_s)),
-                np.pad(refbase[sj], ((0, S2 - n_s), (0, 0))), **kw)
+                np.pad(refbase[sj], ((0, S2 - n_s), (0, 0))),
+                out_len=self.out_len, **kw)
             sout = [np.asarray(x) for x in sout]
             for si, jj in enumerate(sj):
                 out[0][jj] = sout[0][si]
