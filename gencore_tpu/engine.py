@@ -342,6 +342,7 @@ class VectorEngine:
                 flats[is_left] = flat
 
         # ---- overlap scoring (on device; matrices stay resident) ----
+        qual_pre_dev = qual_dev   # pre-scoring quals: XOR-delta base
         with _T("score"):
             score_dev, qual_dev = self._score_pairs_vec(
                 batch, pl, pr, rl, rr, has_right, ct, mem_pairs, g_start,
@@ -352,7 +353,7 @@ class VectorEngine:
         full_bins = not bool(_OK_CODES[work.seq].all())
         with _T("vote"):
             self._vote_jobs(jobs, batch, work, flats, full_bins,
-                            seq_dev, qual_dev, score_dev)
+                            seq_dev, qual_dev, score_dev, qual_pre_dev)
 
         # ---- per-cluster assembly + duplex + thresholds ----
         group_of_cluster: list = [[] for _ in range(nclusters)]
@@ -764,7 +765,7 @@ class VectorEngine:
         return out
 
     def _vote_jobs(self, jobs: list, batch, work, flats, full_bins,
-                   seq_dev, qual_dev, score_dev):
+                   seq_dev, qual_dev, score_dev, qual_pre_dev=None):
         if not jobs:
             return
         import os
@@ -843,7 +844,7 @@ class VectorEngine:
                 outs = self._vote_pallas(kb, rows, shifts, valid, jl_arr,
                                          refbase, shifted_jj, work,
                                          seq_dev, qual_dev, score_dev,
-                                         rnum, rden)
+                                         rnum, rden, qual_pre_dev)
             else:
                 outs = kernels.fused_vote_kernel(
                     seq_dev, qual_dev, score_dev, rows, shifts, valid, jl_arr,
@@ -860,7 +861,7 @@ class VectorEngine:
 
     def _vote_pallas(self, kb, rows, shifts, valid, jl_arr, refbase,
                      shifted_jj, work, seq_dev, qual_dev, score_dev,
-                     rnum, rden):
+                     rnum, rden, qual_pre_dev):
         """TPU voting via the Pallas kernel: device row-gather + pallas vote;
         the rare lenDiff-shifted jobs (right-mode mixed-length members,
         group.cpp:339-349) are re-gathered host-side with shifts applied and
@@ -887,10 +888,16 @@ class VectorEngine:
                   base_score_req=o.base_score_req, ratio_num=rnum,
                   ratio_den=rden, tj=tj,
                   interpret=getattr(self, "_pallas_interpret", False))
+        # XOR base for quals: the PRE-scoring template row, which the host
+        # also has (work.qual) — the delta stays near-zero and host can undo
+        g_qual0_pre = _gather_one(qual_pre_dev, rows[:, 0].astype(np.int32))
         out = pallas_vote.pallas_vote(g_seq, g_qual, g_score, valid.T,
-                                      jl_arr, refbase,
-                                      out_len=self.out_len, **kw)
+                                      jl_arr, refbase, out_len=self.out_len,
+                                      xor_qual_base=g_qual0_pre, **kw)
         out = [np.asarray(x) for x in out]
+        trow = rows[:, 0]
+        out[0] = out[0] ^ work.seq[trow, :self.out_len]
+        out[1] = out[1] ^ work.qual[trow, :self.out_len]
         if shifted_jj:
             out = [np.array(x) for x in out]  # writable copies for overwrite
             # host re-gather with shifts for the affected jobs only
@@ -924,6 +931,8 @@ class VectorEngine:
                 np.pad(refbase[sj], ((0, S2 - n_s), (0, 0))),
                 out_len=self.out_len, **kw)
             sout = [np.asarray(x) for x in sout]
+            sout[0] = sout[0] ^ hseq[0][:, :self.out_len]
+            sout[1] = sout[1] ^ hqual[0][:, :self.out_len]
             for si, jj in enumerate(sj):
                 out[0][jj] = sout[0][si]
                 out[1][jj] = sout[1][si]
@@ -1111,16 +1120,25 @@ def _gather_fns():
     def g2(qual_dev, score_dev, rows):
         return qual_dev[rows], score_dev[rows]
 
-    return g3, g2
+    @jax.jit
+    def g1(arr, rows):
+        return arr[rows]
+
+    return g3, g2, g1
 
 
 def _gather_rows_T(seq_dev, qual_dev, score_dev, rows_t):
-    g3, _ = _gather_fns()
+    g3, _, _ = _gather_fns()
     return g3(seq_dev, qual_dev, score_dev, rows_t)
 
 
+def _gather_one(arr, rows):
+    _, _, g1 = _gather_fns()
+    return g1(arr, rows)
+
+
 def _pull_rows(qual_dev, score_dev, need_rows):
-    _, g2 = _gather_fns()
+    _, g2, _ = _gather_fns()
     n2 = _next_pow2(max(len(need_rows), 1))
     padded = np.pad(need_rows, (0, n2 - len(need_rows)))
     q, s = g2(qual_dev, score_dev, padded.astype(np.int32))

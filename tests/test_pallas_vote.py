@@ -30,8 +30,11 @@ def test_pallas_matches_xla(trial):
         rng, J, K, L, with_ref=(trial != 1), neg=(trial == 2))
     kw = dict(hi=30, mod=20, lo=15, base_score_req=6, ratio_num=4, ratio_den=5)
 
-    p = pallas_vote.pallas_vote(seq, qual, score, valid, job_len, refbase,
-                                tj=8, interpret=True, **kw)
+    p = list(pallas_vote.pallas_vote(seq, qual, score, valid, job_len,
+                                     refbase, tj=8, interpret=True, **kw))
+    # undo the XOR-delta transfer encoding (base: seq[0]/qual[0])
+    p[0] = np.asarray(p[0]) ^ seq[0]
+    p[1] = np.asarray(p[1]) ^ qual[0]
     # XLA reference: [J, K, L] layout, pos_valid mask
     pos_valid = np.arange(L)[None, :] < job_len[:, None]
     x = kernels.consensus_kernel(
