@@ -50,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--oracle", action="store_true",
                    help="use the scalar oracle engine (debugging)")
     p.add_argument("--window_size", type=int, default=4_000_000)
+    p.add_argument("--shards", type=int, default=1,
+                   help="process in N coordinate shards (bounds peak memory; "
+                        "same outputs as a single pass)")
+    p.add_argument("--checkpoint_dir", default="",
+                   help="persist completed shards for crash resume (with --shards)")
     return p
 
 
@@ -152,12 +157,28 @@ def main(argv=None) -> int:
         bed = BedRegions.load(opt.bed_file, header.names)
         opt.has_bed_file = True
 
-    if args.oracle:
+    if args.shards > 1 and not args.oracle:
+        from gencore_tpu.parallel import windows as win
+
+        class _ShardedResult:
+            pass
+
+        tables, pre_stats, post_stats = win.run_sharded(
+            opt, reader.read_all(), header, fasta=fasta, bed=bed,
+            n_shards=args.shards,
+            checkpoint_dir=args.checkpoint_dir or None)
+        engine = _ShardedResult()
+        engine.pre_stats = pre_stats
+        engine.post_stats = post_stats
+        outs = win.merged_records(tables)
+    elif args.oracle:
         from gencore_tpu.core.oracle import OracleEngine as EngineCls
+        engine = EngineCls(opt, header, fasta=fasta, bed=bed)
+        outs = engine.run(reader.read_all())
     else:
         from gencore_tpu.engine import VectorEngine as EngineCls
-    engine = EngineCls(opt, header, fasta=fasta, bed=bed)
-    outs = engine.run(reader.read_all())
+        engine = EngineCls(opt, header, fasta=fasta, bed=bed)
+        outs = engine.run(reader.read_all())
 
     if opt.output.endswith("sam") or opt.output == "-":
         from gencore_tpu.io.sam import SamWriter
@@ -166,6 +187,9 @@ def main(argv=None) -> int:
         writer = bamio.BamWriter(opt.output, header)
     if hasattr(outs, "build_payload"):
         writer.write_table(outs)
+    elif outs and isinstance(outs[0], bytes):
+        for body in outs:
+            writer.write_record(body)
     else:
         for r in outs:
             writer.write_record(r.encode())

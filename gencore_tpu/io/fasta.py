@@ -36,12 +36,14 @@ class FastaRef:
                 if line.startswith(b">"):
                     if name is not None:
                         contigs[name] = _join_seq(parts)
+                    # reference stops once size exceeds maxContig, i.e. it
+                    # keeps maxContig+1 contigs (fastareader.cpp:164)
+                    if max_contig > 0 and len(contigs) > max_contig:
+                        name = None
+                        break
                     header = line[1:].decode()
                     name = header.split(" ")[0]
                     parts = []
-                    if max_contig > 0 and len(contigs) >= max_contig:
-                        name = None
-                        break
                 elif name is not None:
                     parts.append(line)
             if name is not None:

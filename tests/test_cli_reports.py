@@ -103,3 +103,22 @@ def test_oracle_cli_matches_vector_cli(tmp_path):
     assert outs["vec"][1]["summary"] == outs["orc"][1]["summary"]
     assert outs["vec"][1]["before_processing"] == outs["orc"][1]["before_processing"]
     assert outs["vec"][1]["after_processing"] == outs["orc"][1]["after_processing"]
+
+
+def test_cli_sharded_matches_single(tmp_path):
+    sb, bam_path, fa_path, _ = _make_inputs(tmp_path, with_bed=False)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", GENCORE_PLATFORM="cpu")
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    outs = {}
+    for mode, extra in (("one", []), ("sh", ["--shards", "3"])):
+        ob = str(tmp_path / f"{mode}.bam")
+        cp = subprocess.run(
+            [sys.executable, "-m", "gencore_tpu.cli", "-i", bam_path, "-o", ob,
+             "-r", fa_path, "-j", str(tmp_path / f"{mode}.json"),
+             "--html", str(tmp_path / f"{mode}.html")] + extra,
+            capture_output=True, text=True, env=env, cwd=cwd)
+        assert cp.returncode == 0, cp.stderr
+        outs[mode] = (open(ob, "rb").read(), json.load(open(tmp_path / f"{mode}.json")))
+    assert outs["one"][0] == outs["sh"][0]
+    assert outs["one"][1]["before_processing"] == outs["sh"][1]["before_processing"]
+    assert outs["one"][1]["after_processing"] == outs["sh"][1]["after_processing"]
