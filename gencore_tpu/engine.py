@@ -784,6 +784,7 @@ class VectorEngine:
             kb = _next_pow2(max(job.k, 1))
             buckets.setdefault(kb, []).append(ji)
 
+        pending = []
         for kb, jlist in sorted(buckets.items()):
             J = len(jlist)
             J2 = _next_pow2(max(J, 1)) if self._pad_shapes else J
@@ -845,12 +846,20 @@ class VectorEngine:
                                          refbase, shifted_jj, work,
                                          seq_dev, qual_dev, score_dev,
                                          rnum, rden, qual_pre_dev)
+                pending.append((jlist, outs, None))
             else:
                 outs = kernels.fused_vote_kernel(
                     seq_dev, qual_dev, score_dev, rows, shifts, valid, jl_arr,
                     refbase, hi=o.high_quality, mod=o.moderate_quality,
                     lo=o.low_quality, base_score_req=o.base_score_req,
                     ratio_num=rnum, ratio_den=rden, full_bins=full_bins)
+                pending.append((jlist, list(outs), None))
+
+        # collection phase: all bucket dispatches are in flight (async jax
+        # dispatch); syncing afterwards overlaps device work and transfers
+        for jlist, outs, _ in pending:
+            if isinstance(outs, _DeltaOut):
+                outs = outs.materialize()
             new_seq, new_qual, diff, minc = [np.asarray(x) for x in outs]
             for jj, ji in enumerate(jlist):
                 job = jobs[ji]
@@ -894,11 +903,9 @@ class VectorEngine:
         out = pallas_vote.pallas_vote(g_seq, g_qual, g_score, valid.T,
                                       jl_arr, refbase, out_len=self.out_len,
                                       xor_qual_base=g_qual0_pre, **kw)
-        out = [np.asarray(x) for x in out]
-        trow = rows[:, 0]
-        out[0] = out[0] ^ work.seq[trow, :self.out_len]
-        out[1] = out[1] ^ work.qual[trow, :self.out_len]
+        out = _DeltaOut(out, work, rows[:, 0], self.out_len)
         if shifted_jj:
+            out = out.materialize()
             out = [np.array(x) for x in out]  # writable copies for overwrite
             # host re-gather with shifts for the affected jobs only
             sj = np.asarray(shifted_jj)
@@ -1143,6 +1150,23 @@ def _pull_rows(qual_dev, score_dev, need_rows):
     padded = np.pad(need_rows, (0, n2 - len(need_rows)))
     q, s = g2(qual_dev, score_dev, padded.astype(np.int32))
     return np.asarray(q), np.asarray(s)
+
+
+class _DeltaOut:
+    """Deferred XOR-delta vote outputs: keeps device arrays until the
+    collection phase, then downloads and undoes the delta encoding."""
+
+    def __init__(self, dev_out, work, trow, out_len):
+        self.dev_out = dev_out
+        self.work = work
+        self.trow = trow
+        self.out_len = out_len
+
+    def materialize(self):
+        out = [np.asarray(x) for x in self.dev_out]
+        out[0] = out[0] ^ self.work.seq[self.trow, :self.out_len]
+        out[1] = out[1] ^ self.work.qual[self.trow, :self.out_len]
+        return out
 
 
 class _WorkArrays:
