@@ -116,6 +116,17 @@ def main():
     n_reads = batch.n
     setup_s = time.time() - t_setup
 
+    # Prime the remote transport: the first device->host transfer in a
+    # process pays a large, highly variable session-acquisition cost
+    # (0.2s-150s observed) and switches the client out of its deferred
+    # record mode — timings taken before it are fiction (ops are recorded,
+    # not executed). Pay it once, up front, on a 128-byte array.
+    t0 = time.time()
+    _one = jax.jit(lambda a: a + 1)(__import__("numpy").zeros(128, "uint8"))
+    jax.block_until_ready(_one)
+    __import__("numpy").asarray(_one)
+    prime_s = time.time() - t0
+
     # warm-up pass compiles all kernels (first-compile excluded from timing)
     opt = Options()
     warm = VectorEngine(opt, reader.header, fasta=fasta)
@@ -149,6 +160,7 @@ def main():
             "elapsed_s": round(elapsed, 2),
             "warm_run_s": round(warm_s, 2),
             "setup_s": round(setup_s, 2),
+            "prime_s": round(prime_s, 2),
             "baseline_rps_assumed": BASELINE_RPS,
             "tpu_transport_degraded": transport_degraded,
         },

@@ -307,6 +307,69 @@ def consensus_kernel(seq, qual, score, valid, pos_valid, refbase,
 
 @functools.partial(jax.jit, static_argnames=(
     "hi", "mod", "lo", "s_hi", "s_mod", "s_lo", "s_bad"))
+def score_map_kernel(seq_all, qual_all, mate_row, my_start, mate_start,
+                     cmp_len, my_len, is_left, scored,
+                     *, hi, mod, lo, s_hi, s_mod, s_lo, s_bad):
+    """Overlap scoring as a pure per-row gather/map (no scatter — XLA
+    scatters serialize on TPU and dominated the device time).
+
+    Every read row belongs to at most one pair, so instead of computing
+    [P, L] pair tensors and scattering them back (score_scatter_kernel),
+    each row looks up its mate row and computes its own score/qual in
+    place. Semantics per reference Pair::computeScore (pair.cpp:88-172):
+    non-overlap qual tiering (pair.cpp:124-131), overlap match avg-qual+4
+    (pair.cpp:149-154), overlap mismatch qual rewrite max(0, this-pair)
+    with winner qual2score(diff)-3 / loser 0 (pair.cpp:155-167); the left
+    mate wins quality ties (pair.cpp:161).
+
+    Args (all [N] except the matrices):
+      seq_all/qual_all uint8[N, L]  device-resident read matrices
+      mate_row int32[N]   row index of the pair mate (self if unscored)
+      my_start/mate_start/cmp_len int32[N]  overlap geometry for this row
+      my_len int32[N]     read length of this row
+      is_left bool[N]     True for the left mate (wins qual ties)
+      scored bool[N]      row participates in scoring; others keep the
+                          moderate default (pair.cpp:92) and original quals
+    Returns (score_all int8[N, L], qual_all' uint8[N, L]).
+    """
+    N, L = seq_all.shape
+    j = jnp.arange(L, dtype=I32)[None, :]
+    ms = my_start[:, None]
+    ts = mate_start[:, None]
+    cl = cmp_len[:, None]
+    q = qual_all.astype(I32)
+    p_seq_rows = seq_all[mate_row]
+    p_q_rows = qual_all[mate_row]
+    in_ov = (j >= ms) & (j < ms + cl) & (j < my_len[:, None])
+    # partner alignment p[j] = mate[j + (ts - ms)]: a per-row constant
+    # shift. take_along_axis (per-element gather) scalarizes on TPU
+    # (~2.4s for this shape); log2(L) constant lane-rotations selected by
+    # the shift's bits are vector ops. Circular wrap is harmless: inside
+    # the overlap window the shifted index is in-range by construction,
+    # and positions outside it are masked.
+    both = jnp.stack([p_seq_rows, p_q_rows])          # [2, N, L] u8
+    delta = jnp.mod(mate_start - my_start, L)         # left-roll amount
+    k = 1
+    while k < L:
+        bit = ((delta // k) % 2 == 1)[None, :, None]
+        both = jnp.where(bit, jnp.roll(both, -k, axis=-1), both)
+        k <<= 1
+    p_seq = both[0]
+    p_q = both[1].astype(I32)
+    q2s = lambda x: _qual2score(x, hi, mod, lo, s_hi, s_mod, s_lo, s_bad)
+    match = seq_all == p_seq
+    ov_match = q2s((q + p_q) // 2) + 4
+    win = (q > p_q) | (is_left[:, None] & (q == p_q))
+    ov_mis = jnp.where(win, q2s(q - p_q) - 3, 0)
+    score = jnp.where(in_ov, jnp.where(match, ov_match, ov_mis), q2s(q))
+    score = jnp.where(scored[:, None], score, s_mod).astype(jnp.int8)
+    new_q = jnp.where(scored[:, None] & in_ov & ~match,
+                      jnp.maximum(0, q - p_q), q).astype(jnp.uint8)
+    return score, new_q
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "hi", "mod", "lo", "s_hi", "s_mod", "s_lo", "s_bad"))
 def score_scatter_kernel(seq_all, qual_all, lrow, rrow, ls, rs, cl, llen, rlen,
                          *, hi, mod, lo, s_hi, s_mod, s_lo, s_bad):
     """Overlap scoring over pair row indices into the device-resident read

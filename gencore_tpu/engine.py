@@ -42,6 +42,9 @@ PAIR_GAP_LIMIT = 100_000  # gencore.cpp:300
 TICK = 10_000             # gencore.cpp:319-322
 BIG = np.int64(1 << 60)
 
+import os as _os
+_SYNC_STAGES = bool(_os.environ.get("GENCORE_SYNC_STAGES"))
+
 _ASCII_TO_NT16 = np.zeros(256, dtype=np.uint8)
 for _c, _v in zip(b"ACGT", (1, 2, 4, 8)):
     _ASCII_TO_NT16[_c] = _v
@@ -111,7 +114,14 @@ class VectorEngine:
 
     # ------------------------------------------------------------------
     def run(self, batch: bamio.RecordBatch, *, checkpoint=None,
-            count_pre_reads: bool = True):
+            count_pre_reads: bool = True, warm_only: bool = False):
+        """warm_only: dispatch every device kernel (compiling them) and
+        block WITHOUT any device->host download, then return None. The
+        axon remote transport permanently degrades per-execute latency in
+        a process after its first D2H transfer; a download-free warm pass
+        compiles everything while keeping the process fast for the real
+        run (see BENCH_NOTES.md)."""
+        self._warm_only = warm_only
         opt = self.opt
         self.batchref = batch
         n = batch.n
@@ -218,9 +228,11 @@ class VectorEngine:
                 ck = cidx[TICK - 1::TICK][-1]
                 last_ck_tid, last_ck_pos = int(tid[ck]), int(pos[ck])
 
-        qname_mat, qname_w = self._qname_matrix(batch, cidx)
-        qname_keys = qname_mat.view(f"S{qname_w}").ravel()
-        order = np.lexsort((cidx, qname_keys, ckey_r, ckey_l, ckey_t))
+        _T0 = self.timer.stage
+        with _T0("sort"):
+            qname_mat, qname_w = self._qname_matrix(batch, cidx)
+            qname_keys = qname_mat.view(f"S{qname_w}").ravel()
+            order = np.lexsort((cidx, qname_keys, ckey_r, ckey_l, ckey_t))
         s_rec = cidx[order]
         s_t = ckey_t[order]
         s_l = ckey_l[order]
@@ -269,17 +281,24 @@ class VectorEngine:
         # true data length: device->host transfers slice to this
         self.out_len = max(((max_len + 7) // 8) * 8, 8)
         with _T("materialize"):
-            work = _WorkArrays(batch, cidx, self.max_len,
-                               default_score=opt.score_not_overlapped_moderate_qual,
-                               pad_pow2=self._pad_shapes)
-            self.work = work
-            ct = CigarTable(batch, cidx)
+            with _T("materialize.host"):
+                work = _WorkArrays(batch, cidx, self.max_len,
+                                   w_host=self.out_len,
+                                   pad_pow2=self._pad_shapes)
+                self.work = work
+                ct = CigarTable(batch, cidx)
             # read matrices live on device for the fused kernel pipeline.
             # Upload via a jit identity: on remote-attached chips the
             # device_put path can be orders of magnitude slower than
             # execute-argument transfer.
             import jax
-            seq_dev, qual_dev = _upload_fn()(work.seq, work.qual)
+            with _T("materialize.updispatch"):
+                seq_dev, qual_dev = _upload_unpack_fn(work.w_host, work.L)(
+                    work.seq_packed, work.qual, work.lens)
+            if _SYNC_STAGES:
+                with _T("materialize.upwait"):
+                    jax.block_until_ready(seq_dev)
+                    jax.block_until_ready(qual_dev)
 
         rl = work.row_of(pl)
         has_right = pr >= 0
@@ -298,29 +317,30 @@ class VectorEngine:
         uk_max = np.maximum.reduceat(pair_ukey_id, seg)
         single_umi = uk_min == uk_max
 
-        group_slices = []
-        g_cluster_l = []
-        for ci in np.nonzero(single_umi)[0]:
-            group_slices.append(np.arange(c_pair_start[ci], c_pair_end[ci]))
-            g_cluster_l.append(ci)
-        for ci in np.nonzero(~single_umi)[0]:
-            lo, hi = int(c_pair_start[ci]), int(c_pair_end[ci])
-            umis = [umivec.umi_string(u_mat, u_start, u_len, pi)
-                    for pi in range(lo, hi)]
-            for idxs in greedy_umi_groups(umis, int(c_thr[ci])):
-                group_slices.append(lo + np.asarray(idxs, dtype=np.int64))
+        with _T0("grouping"):
+            group_slices = []
+            g_cluster_l = []
+            for ci in np.nonzero(single_umi)[0]:
+                group_slices.append(np.arange(c_pair_start[ci], c_pair_end[ci]))
                 g_cluster_l.append(ci)
-        g_cluster_arr = np.asarray(g_cluster_l, dtype=np.int64)
-        order_g = np.argsort(g_cluster_arr, kind="stable")
-        group_slices = [group_slices[i] for i in order_g]
-        g_cluster = g_cluster_arr[order_g]
-        G = len(group_slices)
-        g_sizes = np.array([len(s) for s in group_slices], dtype=np.int64)
-        g_start = np.zeros(G + 1, dtype=np.int64)
-        np.cumsum(g_sizes, out=g_start[1:])
-        mem_pairs = (np.concatenate(group_slices) if G
-                     else np.zeros(0, dtype=np.int64))
-        g_cross = c_right[g_cluster] < 0 if G else np.zeros(0, dtype=bool)
+            for ci in np.nonzero(~single_umi)[0]:
+                lo, hi = int(c_pair_start[ci]), int(c_pair_end[ci])
+                umis = [umivec.umi_string(u_mat, u_start, u_len, pi)
+                        for pi in range(lo, hi)]
+                for idxs in greedy_umi_groups(umis, int(c_thr[ci])):
+                    group_slices.append(lo + np.asarray(idxs, dtype=np.int64))
+                    g_cluster_l.append(ci)
+            g_cluster_arr = np.asarray(g_cluster_l, dtype=np.int64)
+            order_g = np.argsort(g_cluster_arr, kind="stable")
+            group_slices = [group_slices[i] for i in order_g]
+            g_cluster = g_cluster_arr[order_g]
+            G = len(group_slices)
+            g_sizes = np.array([len(s) for s in group_slices], dtype=np.int64)
+            g_start = np.zeros(G + 1, dtype=np.int64)
+            np.cumsum(g_sizes, out=g_start[1:])
+            mem_pairs = (np.concatenate(group_slices) if G
+                         else np.zeros(0, dtype=np.int64))
+            g_cross = c_right[g_cluster] < 0 if G else np.zeros(0, dtype=bool)
 
         # single-pair-no-right early-return groups (group.cpp:73-77):
         # excluded from election/scoring entirely
@@ -347,6 +367,9 @@ class VectorEngine:
             score_dev, qual_dev = self._score_pairs_vec(
                 batch, pl, pr, rl, rr, has_right, ct, mem_pairs, g_start,
                 g_sizes, side_jobs, work, seq_dev, qual_dev)
+            if _SYNC_STAGES:
+                with _T("score.wait"):
+                    _jax.block_until_ready(score_dev)
 
         # ---- voting ----
         # =ACGTN-only data takes the reduced-bin kernel (see kernels.py)
@@ -354,6 +377,9 @@ class VectorEngine:
         with _T("vote"):
             self._vote_jobs(jobs, batch, work, flats, full_bins,
                             seq_dev, qual_dev, score_dev, qual_pre_dev)
+
+        if warm_only:
+            return None
 
         # ---- per-cluster assembly + duplex + thresholds ----
         group_of_cluster: list = [[] for _ in range(nclusters)]
@@ -663,7 +689,8 @@ class VectorEngine:
         import jax
         import jax.numpy as jnp
         o = self.opt
-        default = jnp.full(work.seq.shape, o.score_not_overlapped_moderate_qual,
+        default = jnp.full((work.n_pad, work.L),
+                           o.score_not_overlapped_moderate_qual,
                            dtype=jnp.int8)
         G = len(g_sizes)
         if G == 0:
@@ -692,28 +719,41 @@ class VectorEngine:
         rs = np.where(fwd, rmo, rmo - pos_dis)
         cl = np.where(fwd, np.minimum(lml - pos_dis, rml),
                       np.minimum(lml, rml + pos_dis))
-        # pad P to a power of two (TPU: stable compiled shapes); padded
-        # lanes target the dummy sink row
-        P = len(sel)
-        P2 = _next_pow2(max(P, 1)) if self._pad_shapes else P
-        dummy = work.dummy_row
-
-        def padp(a, fill):
-            out = np.full(P2, fill, dtype=np.int32)
-            out[:P] = a
-            return out
-
-        score_dev, qual_dev = kernels.score_scatter_kernel(
-            seq_dev, qual_dev,
-            padp(lrow, dummy), padp(rrow, dummy),
-            padp(ls, 0), padp(rs, 0), padp(cl, 0),
-            padp(batch.l_qseq[pl[sel]], 0),
-            padp(batch.l_qseq[pr[sel]], 0),
+        # per-row formulation: each read row belongs to exactly one pair,
+        # so scoring is a gather/map over all N rows (no TPU scatter)
+        N = work.n_pad
+        mate_row = np.arange(N, dtype=np.int32)
+        my_start = np.zeros(N, dtype=np.int32)
+        mt_start = np.zeros(N, dtype=np.int32)
+        cmp_len = np.zeros(N, dtype=np.int32)
+        my_len = np.zeros(N, dtype=np.int32)
+        is_left = np.zeros(N, dtype=bool)
+        scored = np.zeros(N, dtype=bool)
+        llen = batch.l_qseq[pl[sel]].astype(np.int32)
+        rlen = batch.l_qseq[pr[sel]].astype(np.int32)
+        mate_row[lrow] = rrow
+        mate_row[rrow] = lrow
+        my_start[lrow] = ls
+        my_start[rrow] = rs
+        mt_start[lrow] = rs
+        mt_start[rrow] = ls
+        cmp_len[lrow] = cl
+        cmp_len[rrow] = cl
+        my_len[lrow] = llen
+        my_len[rrow] = rlen
+        is_left[lrow] = True
+        scored[lrow] = True
+        scored[rrow] = True
+        _Ts = self.timer.stage
+        with _Ts("score.dispatch"):
+            score_dev, qual_dev = kernels.score_map_kernel(
+                seq_dev, qual_dev, mate_row, my_start, mt_start, cmp_len,
+                my_len, is_left, scored,
             hi=o.high_quality, mod=o.moderate_quality, lo=o.low_quality,
-            s_hi=o.score_not_overlapped_high_qual,
-            s_mod=o.score_not_overlapped_moderate_qual,
-            s_lo=o.score_not_overlapped_low_qual,
-            s_bad=o.score_not_overlapped_bad_qual)
+                s_hi=o.score_not_overlapped_high_qual,
+                s_mod=o.score_not_overlapped_moderate_qual,
+                s_lo=o.score_not_overlapped_low_qual,
+                s_bad=o.score_not_overlapped_bad_qual)
         return score_dev, qual_dev
 
     # ------------------------------------------------------------------
@@ -784,6 +824,7 @@ class VectorEngine:
             kb = _next_pow2(max(job.k, 1))
             buckets.setdefault(kb, []).append(ji)
 
+        _T = self.timer.stage
         pending = []
         for kb, jlist in sorted(buckets.items()):
             J = len(jlist)
@@ -838,14 +879,19 @@ class VectorEngine:
                 rows[jrep, krep] = vals
                 valid[jrep, krep] = True
 
-            refbase = np.zeros((J2, work.L), dtype=np.uint8)
-            refbase[:J] = self._refbase_batch([jobs[ji] for ji in jlist], batch)
+            with _T("vote.refbase"):
+                refbase = np.zeros((J2, work.L), dtype=np.uint8)
+                refbase[:J] = self._refbase_batch([jobs[ji] for ji in jlist], batch)
 
             if use_pallas:
                 outs = self._vote_pallas(kb, rows, shifts, valid, jl_arr,
                                          refbase, shifted_jj, work,
                                          seq_dev, qual_dev, score_dev,
                                          rnum, rden, qual_pre_dev)
+                if _SYNC_STAGES:
+                    with _T("vote.device"):
+                        jax.block_until_ready(
+                            outs.dev_out if isinstance(outs, _DeltaOut) else outs)
                 pending.append((jlist, outs, None))
             else:
                 outs = kernels.fused_vote_kernel(
@@ -856,11 +902,48 @@ class VectorEngine:
                 pending.append((jlist, list(outs), None))
 
         # collection phase: all bucket dispatches are in flight (async jax
-        # dispatch); syncing afterwards overlaps device work and transfers
-        for jlist, outs, _ in pending:
-            if isinstance(outs, _DeltaOut):
-                outs = outs.materialize()
-            new_seq, new_qual, diff, minc = [np.asarray(x) for x in outs]
+        # dispatch). Delta outputs from every bucket are concatenated on
+        # device and downloaded in ONE transfer per array (remote transports
+        # charge per-round-trip latency), then XOR-undone vectorized.
+        deltas = [(jlist, outs) for jlist, outs, _ in pending
+                  if isinstance(outs, _DeltaOut)]
+        plains = [(jlist, outs) for jlist, outs, _ in pending
+                  if not isinstance(outs, _DeltaOut)]
+        if getattr(self, "_warm_only", False):
+            import jax as _jx
+            if deltas:
+                flat = []
+                for _, d in deltas:
+                    flat.extend(d.dev_out)
+                _jx.block_until_ready(_concat_outs_fn(len(deltas))(*flat))
+            for _, outs in plains:
+                _jx.block_until_ready(outs)
+            return
+        if deltas:
+            with _T("vote.sync"):
+                flat = []
+                for _, d in deltas:
+                    flat.extend(d.dev_out)
+                ds, dq, df, mc = _concat_outs_fn(len(deltas))(*flat)
+                df = np.asarray(df)
+                mc = np.asarray(mc)
+                tr = np.concatenate([d.trow for _, d in deltas])
+                ol = self.out_len
+                ds = np.asarray(ds) ^ work.seq[tr, :ol]
+                dq = np.asarray(dq) ^ work.qual[tr, :ol]
+            off = 0
+            for jlist, d in deltas:
+                j2 = d.dev_out[0].shape[0]
+                for jj, ji in enumerate(jlist):
+                    job = jobs[ji]
+                    job.new_seq = ds[off + jj]
+                    job.new_qual = dq[off + jj]
+                    job.diff = int(df[off + jj])
+                    job.minc = int(mc[off + jj])
+                off += j2
+        for jlist, outs in plains:
+            with _T("vote.sync"):
+                new_seq, new_qual, diff, minc = [np.asarray(x) for x in outs]
             for jj, ji in enumerate(jlist):
                 job = jobs[ji]
                 job.new_seq = new_seq[jj]
@@ -928,7 +1011,9 @@ class VectorEngine:
                     qrow = qual_rows[qmap[r]]
                     srow = score_rows[qmap[r]]
                     seqrow = work.seq[r]
-                    hseq[k, si, :L - d] = seqrow[d:]
+                    w = work.w_host
+                    hseq[k, si, :w - d] = seqrow[d:]
+                    hseq[k, si, w - d:] = 0
                     hqual[k, si, :L - d] = qrow[d:]
                     hscore[k, si, :L - d] = srow[d:]
                     hvalid[k, si] = True
@@ -1116,6 +1201,50 @@ def _upload_fn():
 
 
 @_functools.cache
+def _upload_unpack_fn(w_host: int, L: int):
+    """Upload path: 4-bit packed seq + w_host-wide qual go over the wire;
+    the chip unpacks nibbles, masks beyond each read length, and zero-pads
+    to the kernel width L. Cuts upload bytes ~2x vs dense [n, L] u8."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def up(seq_packed, qual_h, lens):
+        n = seq_packed.shape[0]
+        hi = seq_packed >> 4
+        lo = seq_packed & 0xF
+        seq = jnp.stack([hi, lo], axis=-1).reshape(n, -1)[:, :w_host]
+        j = jnp.arange(w_host, dtype=jnp.int32)[None, :]
+        keep = j < lens[:, None]
+        seq = jnp.where(keep, seq, 0)
+        qual = jnp.where(keep, qual_h, 0)
+        if L > w_host:
+            seq = jnp.pad(seq, ((0, 0), (0, L - w_host)))
+            qual = jnp.pad(qual, ((0, 0), (0, L - w_host)))
+        return seq, qual
+
+    return up
+
+
+@_functools.cache
+def _concat_outs_fn(nb: int):
+    """One-shot device concat of nb buckets' (dseq, dqual, diff, minc) so
+    the host downloads 4 arrays instead of 4*nb (per-transfer latency over
+    a remote-attached chip dominates small downloads)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def cat(*arrs):
+        if nb == 1:
+            return arrs[0], arrs[1], arrs[2], arrs[3]
+        return tuple(jnp.concatenate([arrs[4 * i + k] for i in range(nb)],
+                                     axis=0) for k in range(4))
+
+    return cat
+
+
+@_functools.cache
 def _gather_fns():
     import jax
 
@@ -1176,19 +1305,37 @@ class _WorkArrays:
     lanes) so compiled kernel shapes recur across workloads."""
 
     def __init__(self, batch, cidx: np.ndarray, max_len: int,
-                 default_score: int = 6, pad_pow2: bool = True):
+                 w_host: int | None = None, pad_pow2: bool = True):
+        """max_len is the device width L; w_host (defaults to L) is the
+        narrower host width — enough for real read bases. Host keeps
+        unpacked [n_pad, w_host] matrices (XOR-delta undo, output
+        assembly); the device receives 4-bit packed seq + w_host-wide qual
+        and unpacks/zero-pads to [n_pad, L] on chip (halves the upload —
+        the dominant transfer over a remote-attached TPU)."""
         self.L = max_len
+        self.w_host = w_host = w_host or max_len
+        assert w_host % 2 == 0 and w_host <= max_len
         self.cidx = cidx
         n = len(cidx)
         n_pad = _next_pow2(n + 1) if pad_pow2 else n + 1
-        seq = batch.seq_matrix(cidx, max_len)
-        qual = batch.qual_matrix(cidx, max_len)
-        self.seq = np.zeros((n_pad, max_len), dtype=np.uint8)
+        self.n_pad = n_pad
+        seq = batch.seq_matrix(cidx, w_host)
+        qual = batch.qual_matrix(cidx, w_host)
+        self.seq = np.zeros((n_pad, w_host), dtype=np.uint8)
         self.seq[:n] = seq
-        self.qual = np.zeros((n_pad, max_len), dtype=np.uint8)
+        self.qual = np.zeros((n_pad, w_host), dtype=np.uint8)
         self.qual[:n] = qual
+        self.lens = np.zeros(n_pad, dtype=np.int32)
+        self.lens[:n] = np.minimum(batch.l_qseq[cidx], w_host)
+        # 4-bit packed seq rows straight from the BAM payload (gather only;
+        # garbage nibbles beyond each read are masked on device by lens)
+        pw = w_host // 2
+        cols = np.arange(pw, dtype=np.int64)
+        gidx = batch.seq_off[cidx][:, None] + cols[None, :]
+        np.minimum(gidx, len(batch.data) - 1, out=gidx)
+        self.seq_packed = np.zeros((n_pad, pw), dtype=np.uint8)
+        self.seq_packed[:n] = batch.data[gidx]
         self.dummy_row = n_pad - 1
-        self.score = np.full((n_pad, max_len), default_score, dtype=np.int8)
 
     def row_of(self, read_idx: np.ndarray) -> np.ndarray:
         return np.searchsorted(self.cidx, read_idx)
