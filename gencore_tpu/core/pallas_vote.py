@@ -196,9 +196,13 @@ def _pallas_stage(seq, qual, score, refbase, valid, *, hi, mod, lo,
 
 @functools.partial(jax.jit, static_argnames=(
     "hi", "mod", "lo", "base_score_req", "ratio_num", "ratio_den", "out_len"))
-def _epilogue(cseq, cqual, chg, minc_pos, seq0, qual0, xor_qual_base,
+def _epilogue(cseq, cqual, chg, minc_pos, seq0, qual0,
               job_len, *, hi, mod, lo, base_score_req, ratio_num, ratio_den,
               out_len=None):
+    """Per-read rollback + output packing. new_seq ships 4-bit packed
+    (BAM nibble layout, first base in the high nibble) — the transport
+    has no wire compression, so halving the seq bytes halves its
+    download time; the host unpacks vectorized."""
     J, L = cseq.shape
     pos_valid = jnp.arange(L, dtype=I32)[None, :] < job_len[:, None]
     tmpl_seq = seq0.astype(I32)
@@ -212,41 +216,25 @@ def _epilogue(cseq, cqual, chg, minc_pos, seq0, qual0, xor_qual_base,
     rollback = (minc > 5)[:, None]
     new_seq = jnp.where(rollback, tmpl_seq, cseq).astype(jnp.uint8)
     new_qual = jnp.where(rollback, tmpl_qual, cqual).astype(jnp.uint8)
-    # device->host transfer optimization: ship XOR deltas vs the template
-    # rows (the host already has them). Consensus output mostly equals the
-    # template, so the delta is near-all-zeros and the transport layer's
-    # compression collapses it.
-    dseq = new_seq ^ seq0
-    dqual = new_qual ^ xor_qual_base
-    if out_len is not None and out_len < L:
-        dseq = dseq[:, :out_len]
-        dqual = dqual[:, :out_len]
-    return dseq, dqual, diff, minc
+    ol = L if out_len is None else min(out_len, L)
+    new_seq = new_seq[:, :ol]
+    new_qual = new_qual[:, :ol]
+    pseq = (new_seq[:, 0::2] << 4) | new_seq[:, 1::2]
+    return pseq, new_qual, diff, minc
 
 
 def pallas_vote(seq, qual, score, valid, job_len, refbase, *, hi, mod, lo,
                 base_score_req, ratio_num, ratio_den, tj=256,
-                interpret=False, out_len=None, xor_qual_base=None):
+                interpret=False, out_len=None):
     tj = _TJ_USED.get(tj, tj)
     """Pallas-backed voting over gathered member tensors.
 
     seq/qual [K, J, L] uint8, score [K, J, L] int8, valid [K, J] (any int),
     job_len [J] int32, refbase [J, L] uint8. J must be a multiple of tj.
-    Returns (dseq, dqual, diff, minc) where dseq/dqual are XOR-deltas
-    against (seq[0], xor_qual_base or qual[0]) — the caller undoes the XOR
-    with its host-side copy of the base (transport-compression trick).
-    Semantics after the undo match kernels._vote_core (full_bins=False)
-    including rollback.
-    """
-    """Pallas-backed voting over gathered member tensors.
-
-    seq/qual [K, J, L] uint8, score [K, J, L] int8, valid [K, J] (any int),
-    job_len [J] int32, refbase [J, L] uint8. J must be a multiple of tj.
-    Returns (dseq, dqual, diff, minc) where dseq/dqual are XOR-deltas
-    against (seq[0], xor_qual_base or qual[0]) — the caller undoes the XOR
-    with its host-side copy of the base (transport-compression trick).
-    Semantics after the undo match kernels._vote_core (full_bins=False)
-    including rollback.
+    Returns (pseq, new_qual, diff, minc): pseq is the consensus sequence
+    4-bit packed (BAM nibble layout, [J, out_len//2]); new_qual is raw
+    [J, out_len]. Semantics after host unpack match kernels._vote_core
+    (full_bins=False) including rollback.
     """
     kw = dict(hi=hi, mod=mod, lo=lo, base_score_req=base_score_req,
               ratio_num=ratio_num, ratio_den=ratio_den)
@@ -264,10 +252,8 @@ def pallas_vote(seq, qual, score, valid, job_len, refbase, *, hi, mod, lo,
                 continue
             raise
     _TJ_USED[tj] = cur
-    if xor_qual_base is None:
-        xor_qual_base = qual[0]
     return _epilogue(cseq, cqual, chg, minc_pos, seq[0], qual[0],
-                     xor_qual_base, jnp.asarray(job_len, dtype=I32),
+                     jnp.asarray(job_len, dtype=I32),
                      out_len=out_len, **kw)
 
 

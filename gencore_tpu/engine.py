@@ -52,6 +52,18 @@ for _c, _v in zip(b"ACGT", (1, 2, 4, 8)):
 _OK_CODES = np.zeros(256, dtype=bool)
 for _v in (0, 1, 2, 4, 8, 15):
     _OK_CODES[_v] = True
+# packed-byte variants: both nibbles / high nibble are =ACGTN codes
+_OK_PAIR = np.array([_OK_CODES[b >> 4] and _OK_CODES[b & 15]
+                     for b in range(256)], dtype=bool)
+_OK_HI = np.array([_OK_CODES[b >> 4] for b in range(256)], dtype=bool)
+
+
+def _unpack_nibbles(p: np.ndarray) -> np.ndarray:
+    """[n, W/2] packed nibbles -> [n, W] codes (BAM layout, high first)."""
+    out = np.empty(p.shape[:-1] + (p.shape[-1] * 2,), dtype=np.uint8)
+    out[..., 0::2] = p >> 4
+    out[..., 1::2] = p & 0xF
+    return out
 
 
 def _next_pow2(x: int) -> int:
@@ -229,6 +241,42 @@ class VectorEngine:
                 last_ck_tid, last_ck_pos = int(tid[ck]), int(pos[ck])
 
         _T0 = self.timer.stage
+        _T = _T0
+        # ---- working arrays + upload (dispatched FIRST: the 40MB host->
+        # device transfer overlaps the sort/UMI/grouping/election host
+        # stages below — device work is async until the collection sync)
+        max_len = int(batch.l_qseq[cidx].max())
+        # round L up so compiled kernel shapes recur across workloads (jit
+        # compiles are expensive on remote-attached TPUs; shapes are bucketed
+        # and cached persistently — see cli/bench cache config). The Pallas
+        # path needs lane-aligned L (multiple of 128) to block properly.
+        import jax as _jax
+        self._pad_shapes = _jax.default_backend() != "cpu"
+        lane = 128 if self._pad_shapes else 32
+        self.max_len = max(((max_len + lane - 1) // lane) * lane, lane)
+        # true data length: device->host transfers slice to this
+        self.out_len = max(((max_len + 7) // 8) * 8, 8)
+        with _T("materialize"):
+            with _T("materialize.host"):
+                work = _WorkArrays(batch, cidx, self.max_len,
+                                   w_host=self.out_len,
+                                   pad_pow2=self._pad_shapes)
+                self.work = work
+                ct = CigarTable(batch, cidx)
+            # read matrices live on device for the fused kernel pipeline.
+            # Upload via a jit identity: on remote-attached chips the
+            # device_put path can be orders of magnitude slower than
+            # execute-argument transfer.
+            import jax
+            with _T("materialize.updispatch"):
+                seq_dev, qual_dev = _upload_unpack_fn(
+                    work.w_host, work.L, work.qual_table is not None)(
+                    work.seq_packed, work.qual_up, work.lens, work.qtable16)
+            if _SYNC_STAGES:
+                with _T("materialize.upwait"):
+                    jax.block_until_ready(seq_dev)
+                    jax.block_until_ready(qual_dev)
+
         with _T0("sort"):
             qname_mat, qname_w = self._qname_matrix(batch, cidx)
             qname_keys = qname_mat.view(f"S{qname_w}").ravel()
@@ -266,39 +314,6 @@ class VectorEngine:
             (c_tid == last_ck_tid) & (c_left < last_ck_pos) & (c_right < last_ck_pos))
         c_thr = np.where(flushed, opt.proper_reads_umi_diff_threshold,
                          opt.unproper_reads_umi_diff_threshold)
-
-        # ---- working arrays + cigar metadata ----
-        _T = self.timer.stage
-        max_len = int(batch.l_qseq[cidx].max())
-        # round L up so compiled kernel shapes recur across workloads (jit
-        # compiles are expensive on remote-attached TPUs; shapes are bucketed
-        # and cached persistently — see cli/bench cache config). The Pallas
-        # path needs lane-aligned L (multiple of 128) to block properly.
-        import jax as _jax
-        self._pad_shapes = _jax.default_backend() != "cpu"
-        lane = 128 if self._pad_shapes else 32
-        self.max_len = max(((max_len + lane - 1) // lane) * lane, lane)
-        # true data length: device->host transfers slice to this
-        self.out_len = max(((max_len + 7) // 8) * 8, 8)
-        with _T("materialize"):
-            with _T("materialize.host"):
-                work = _WorkArrays(batch, cidx, self.max_len,
-                                   w_host=self.out_len,
-                                   pad_pow2=self._pad_shapes)
-                self.work = work
-                ct = CigarTable(batch, cidx)
-            # read matrices live on device for the fused kernel pipeline.
-            # Upload via a jit identity: on remote-attached chips the
-            # device_put path can be orders of magnitude slower than
-            # execute-argument transfer.
-            import jax
-            with _T("materialize.updispatch"):
-                seq_dev, qual_dev = _upload_unpack_fn(work.w_host, work.L)(
-                    work.seq_packed, work.qual, work.lens)
-            if _SYNC_STAGES:
-                with _T("materialize.upwait"):
-                    jax.block_until_ready(seq_dev)
-                    jax.block_until_ready(qual_dev)
 
         rl = work.row_of(pl)
         has_right = pr >= 0
@@ -362,7 +377,6 @@ class VectorEngine:
                 flats[is_left] = flat
 
         # ---- overlap scoring (on device; matrices stay resident) ----
-        qual_pre_dev = qual_dev   # pre-scoring quals: XOR-delta base
         with _T("score"):
             score_dev, qual_dev = self._score_pairs_vec(
                 batch, pl, pr, rl, rr, has_right, ct, mem_pairs, g_start,
@@ -372,11 +386,20 @@ class VectorEngine:
                     _jax.block_until_ready(score_dev)
 
         # ---- voting ----
-        # =ACGTN-only data takes the reduced-bin kernel (see kernels.py)
-        full_bins = not bool(_OK_CODES[work.seq].all())
+        # =ACGTN-only data takes the reduced-bin kernel (see kernels.py);
+        # checked on the packed nibbles (host no longer keeps dense rows)
+        pwf = work.lens // 2
+        cols_p = np.arange(work.seq_packed.shape[1])
+        full_bins = bool(((~_OK_PAIR[work.seq_packed])
+                          & (cols_p[None, :] < pwf[:, None])).any())
+        if not full_bins:
+            oddrows = np.nonzero(work.lens % 2 == 1)[0]
+            if len(oddrows):
+                lastb = work.seq_packed[oddrows, work.lens[oddrows] // 2]
+                full_bins = bool((~_OK_HI[lastb]).any())
         with _T("vote"):
             self._vote_jobs(jobs, batch, work, flats, full_bins,
-                            seq_dev, qual_dev, score_dev, qual_pre_dev)
+                            seq_dev, qual_dev, score_dev)
 
         if warm_only:
             return None
@@ -805,7 +828,7 @@ class VectorEngine:
         return out
 
     def _vote_jobs(self, jobs: list, batch, work, flats, full_bins,
-                   seq_dev, qual_dev, score_dev, qual_pre_dev=None):
+                   seq_dev, qual_dev, score_dev):
         if not jobs:
             return
         import os
@@ -884,15 +907,13 @@ class VectorEngine:
                 refbase[:J] = self._refbase_batch([jobs[ji] for ji in jlist], batch)
 
             if use_pallas:
-                outs = self._vote_pallas(kb, rows, shifts, valid, jl_arr,
-                                         refbase, shifted_jj, work,
-                                         seq_dev, qual_dev, score_dev,
-                                         rnum, rden, qual_pre_dev)
+                outs, overrides = self._vote_pallas(
+                    kb, rows, shifts, valid, jl_arr, refbase, shifted_jj,
+                    work, batch, seq_dev, qual_dev, score_dev, rnum, rden)
                 if _SYNC_STAGES:
                     with _T("vote.device"):
-                        jax.block_until_ready(
-                            outs.dev_out if isinstance(outs, _DeltaOut) else outs)
-                pending.append((jlist, outs, None))
+                        jax.block_until_ready(outs.dev_out)
+                pending.append((jlist, outs, overrides))
             else:
                 outs = kernels.fused_vote_kernel(
                     seq_dev, qual_dev, score_dev, rows, shifts, valid, jl_arr,
@@ -905,45 +926,54 @@ class VectorEngine:
         # dispatch). Delta outputs from every bucket are concatenated on
         # device and downloaded in ONE transfer per array (remote transports
         # charge per-round-trip latency), then XOR-undone vectorized.
-        deltas = [(jlist, outs) for jlist, outs, _ in pending
-                  if isinstance(outs, _DeltaOut)]
-        plains = [(jlist, outs) for jlist, outs, _ in pending
-                  if not isinstance(outs, _DeltaOut)]
+        packed = [(jlist, outs.dev_out, ov) for jlist, outs, ov in pending
+                  if isinstance(outs, _PackedOut)]
+        plains = [(jlist, outs, ov) for jlist, outs, ov in pending
+                  if not isinstance(outs, _PackedOut)]
         if getattr(self, "_warm_only", False):
             import jax as _jx
-            if deltas:
+            if packed:
                 flat = []
-                for _, d in deltas:
-                    flat.extend(d.dev_out)
-                _jx.block_until_ready(_concat_outs_fn(len(deltas))(*flat))
-            for _, outs in plains:
+                for _, d, _ in packed:
+                    flat.extend(d)
+                _jx.block_until_ready(_concat_outs_fn(len(packed))(*flat))
+            for _, outs, _ in plains:
                 _jx.block_until_ready(outs)
             return
-        if deltas:
+        if packed:
             with _T("vote.sync"):
                 flat = []
-                for _, d in deltas:
-                    flat.extend(d.dev_out)
-                ds, dq, df, mc = _concat_outs_fn(len(deltas))(*flat)
+                for _, d, _ in packed:
+                    flat.extend(d)
+                ps, dq, df, mc = _concat_outs_fn(len(packed))(*flat)
+                ps = np.asarray(ps)
+                # writable copy: duplex merging mutates output rows in
+                # place (postmerge.duplex_merge_bam, cluster.cpp:190-244)
+                dq = np.array(dq)
                 df = np.asarray(df)
                 mc = np.asarray(mc)
-                tr = np.concatenate([d.trow for _, d in deltas])
-                ol = self.out_len
-                ds = np.asarray(ds) ^ work.seq[tr, :ol]
-                dq = np.asarray(dq) ^ work.qual[tr, :ol]
+                ds = _unpack_nibbles(ps)
             off = 0
-            for jlist, d in deltas:
-                j2 = d.dev_out[0].shape[0]
+            for jlist, d, ov in packed:
+                j2 = d[0].shape[0]
                 for jj, ji in enumerate(jlist):
                     job = jobs[ji]
-                    job.new_seq = ds[off + jj]
-                    job.new_qual = dq[off + jj]
-                    job.diff = int(df[off + jj])
-                    job.minc = int(mc[off + jj])
+                    if ov is not None and jj in ov:
+                        pse, q, dd, m = ov[jj]
+                        job.new_seq = _unpack_nibbles(pse[None])[0]
+                        job.new_qual = np.array(q)
+                        job.diff = dd
+                        job.minc = m
+                    else:
+                        job.new_seq = ds[off + jj]
+                        job.new_qual = dq[off + jj]
+                        job.diff = int(df[off + jj])
+                        job.minc = int(mc[off + jj])
                 off += j2
-        for jlist, outs in plains:
+        for jlist, outs, _ in plains:
             with _T("vote.sync"):
-                new_seq, new_qual, diff, minc = [np.asarray(x) for x in outs]
+                new_seq, new_qual = np.array(outs[0]), np.array(outs[1])
+                diff, minc = np.asarray(outs[2]), np.asarray(outs[3])
             for jj, ji in enumerate(jlist):
                 job = jobs[ji]
                 job.new_seq = new_seq[jj]
@@ -952,12 +982,16 @@ class VectorEngine:
                 job.minc = int(minc[jj])
 
     def _vote_pallas(self, kb, rows, shifts, valid, jl_arr, refbase,
-                     shifted_jj, work, seq_dev, qual_dev, score_dev,
-                     rnum, rden, qual_pre_dev):
+                     shifted_jj, work, batch, seq_dev, qual_dev, score_dev,
+                     rnum, rden):
         """TPU voting via the Pallas kernel: device row-gather + pallas vote;
         the rare lenDiff-shifted jobs (right-mode mixed-length members,
         group.cpp:339-349) are re-gathered host-side with shifts applied and
-        voted in a second small pallas call."""
+        voted in a second small pallas call whose results override the main
+        bucket's rows at collection time.
+
+        Returns (_PackedOut, overrides) — overrides maps bucket-local job
+        index -> (packed_seq_row, qual_row, diff, minc)."""
         from gencore_tpu.core import pallas_vote
         o = self.opt
         # VMEM: ~36 live [tj, L] i32 temporaries in the kernel + double-buffered
@@ -980,27 +1014,30 @@ class VectorEngine:
                   base_score_req=o.base_score_req, ratio_num=rnum,
                   ratio_den=rden, tj=tj,
                   interpret=getattr(self, "_pallas_interpret", False))
-        # XOR base for quals: the PRE-scoring template row, which the host
-        # also has (work.qual) — the delta stays near-zero and host can undo
-        g_qual0_pre = _gather_one(qual_pre_dev, rows[:, 0].astype(np.int32))
-        out = pallas_vote.pallas_vote(g_seq, g_qual, g_score, valid.T,
-                                      jl_arr, refbase, out_len=self.out_len,
-                                      xor_qual_base=g_qual0_pre, **kw)
-        out = _DeltaOut(out, work, rows[:, 0], self.out_len)
+        out = _PackedOut(list(pallas_vote.pallas_vote(
+            g_seq, g_qual, g_score, valid.T, jl_arr, refbase,
+            out_len=self.out_len, **kw)))
+        overrides = None
         if shifted_jj:
-            out = out.materialize()
-            out = [np.array(x) for x in out]  # writable copies for overwrite
             # host re-gather with shifts for the affected jobs only
             sj = np.asarray(shifted_jj)
             n_s = len(sj)
             S2 = ((max(n_s, 1) + tj - 1) // tj) * tj
             L = work.L
+            w = work.w_host
             hseq = np.full((kb, S2, L), pallas_vote.SENTINEL, dtype=np.uint8)
             hqual = np.zeros((kb, S2, L), dtype=np.uint8)
             hscore = np.zeros((kb, S2, L), dtype=np.int8)
             hvalid = np.zeros((kb, S2), dtype=bool)
             need_rows = np.unique(rows[sj].ravel())
+            real = need_rows[need_rows != work.dummy_row]
             qual_rows, score_rows = _pull_rows(qual_dev, score_dev, need_rows)
+            seq_rows = np.zeros((len(need_rows), w), dtype=np.uint8)
+            if len(real):
+                rmap = {int(r): i for i, r in enumerate(need_rows)}
+                got = batch.seq_matrix(work.cidx[real], w)
+                for k2, r in enumerate(real):
+                    seq_rows[rmap[int(r)]] = got[k2]
             qmap = {int(r): i for i, r in enumerate(need_rows)}
             for si, jj in enumerate(sj):
                 for k in range(kb):
@@ -1010,8 +1047,7 @@ class VectorEngine:
                     d = int(shifts[jj, k])
                     qrow = qual_rows[qmap[r]]
                     srow = score_rows[qmap[r]]
-                    seqrow = work.seq[r]
-                    w = work.w_host
+                    seqrow = seq_rows[qmap[r]]
                     hseq[k, si, :w - d] = seqrow[d:]
                     hseq[k, si, w - d:] = 0
                     hqual[k, si, :L - d] = qrow[d:]
@@ -1023,14 +1059,10 @@ class VectorEngine:
                 np.pad(refbase[sj], ((0, S2 - n_s), (0, 0))),
                 out_len=self.out_len, **kw)
             sout = [np.asarray(x) for x in sout]
-            sout[0] = sout[0] ^ hseq[0][:, :self.out_len]
-            sout[1] = sout[1] ^ hqual[0][:, :self.out_len]
-            for si, jj in enumerate(sj):
-                out[0][jj] = sout[0][si]
-                out[1][jj] = sout[1][si]
-                out[2][jj] = sout[2][si]
-                out[3][jj] = sout[3][si]
-        return out
+            overrides = {int(jj): (sout[0][si], sout[1][si],
+                                   int(sout[2][si]), int(sout[3][si]))
+                         for si, jj in enumerate(sj)}
+        return out, overrides
 
     # ------------------------------------------------------------------
     def _assemble_group(self, gi, pair_ids, is_single, cross_contig,
@@ -1201,15 +1233,16 @@ def _upload_fn():
 
 
 @_functools.cache
-def _upload_unpack_fn(w_host: int, L: int):
-    """Upload path: 4-bit packed seq + w_host-wide qual go over the wire;
-    the chip unpacks nibbles, masks beyond each read length, and zero-pads
-    to the kernel width L. Cuts upload bytes ~2x vs dense [n, L] u8."""
+def _upload_unpack_fn(w_host: int, L: int, qual_packed: bool):
+    """Upload path: 4-bit packed seq (+ nibble-indexed quals with a value
+    table when qual_packed) go over the wire; the chip unpacks, decodes,
+    masks beyond each read length, and zero-pads to the kernel width L.
+    ~3x fewer upload bytes than dense [n, L] u8 matrices."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def up(seq_packed, qual_h, lens):
+    def up(seq_packed, qual_up, lens, qtable):
         n = seq_packed.shape[0]
         hi = seq_packed >> 4
         lo = seq_packed & 0xF
@@ -1217,7 +1250,16 @@ def _upload_unpack_fn(w_host: int, L: int):
         j = jnp.arange(w_host, dtype=jnp.int32)[None, :]
         keep = j < lens[:, None]
         seq = jnp.where(keep, seq, 0)
-        qual = jnp.where(keep, qual_h, 0)
+        if qual_packed:
+            qh = qual_up >> 4
+            ql = qual_up & 0xF
+            qidx = jnp.stack([qh, ql], axis=-1).reshape(n, -1)[:, :w_host]
+            qual = jnp.zeros_like(qidx)
+            for i in range(1, 16):
+                qual = jnp.where(qidx == i, qtable[i], qual)
+        else:
+            qual = qual_up
+        qual = jnp.where(keep, qual, 0)
         if L > w_host:
             seq = jnp.pad(seq, ((0, 0), (0, L - w_host)))
             qual = jnp.pad(qual, ((0, 0), (0, L - w_host)))
@@ -1281,21 +1323,12 @@ def _pull_rows(qual_dev, score_dev, need_rows):
     return np.asarray(q), np.asarray(s)
 
 
-class _DeltaOut:
-    """Deferred XOR-delta vote outputs: keeps device arrays until the
-    collection phase, then downloads and undoes the delta encoding."""
+class _PackedOut:
+    """Deferred pallas vote outputs (packed seq nibbles, qual, diff, minc);
+    device arrays are held until the single collection download."""
 
-    def __init__(self, dev_out, work, trow, out_len):
+    def __init__(self, dev_out):
         self.dev_out = dev_out
-        self.work = work
-        self.trow = trow
-        self.out_len = out_len
-
-    def materialize(self):
-        out = [np.asarray(x) for x in self.dev_out]
-        out[0] = out[0] ^ self.work.seq[self.trow, :self.out_len]
-        out[1] = out[1] ^ self.work.qual[self.trow, :self.out_len]
-        return out
 
 
 class _WorkArrays:
@@ -1307,11 +1340,12 @@ class _WorkArrays:
     def __init__(self, batch, cidx: np.ndarray, max_len: int,
                  w_host: int | None = None, pad_pow2: bool = True):
         """max_len is the device width L; w_host (defaults to L) is the
-        narrower host width — enough for real read bases. Host keeps
-        unpacked [n_pad, w_host] matrices (XOR-delta undo, output
-        assembly); the device receives 4-bit packed seq + w_host-wide qual
-        and unpacks/zero-pads to [n_pad, L] on chip (halves the upload —
-        the dominant transfer over a remote-attached TPU)."""
+        narrower transfer width — enough for real read bases. The host
+        keeps only compact upload staging (4-bit packed seq; quals as
+        nibble indices into a <=16-entry value table when the data is
+        RTA-binned, raw bytes otherwise); the device unpacks/decodes and
+        zero-pads to [n_pad, L] on chip. No dense host matrices: the
+        transport has no wire compression, so upload bytes are the cost."""
         self.L = max_len
         self.w_host = w_host = w_host or max_len
         assert w_host % 2 == 0 and w_host <= max_len
@@ -1319,12 +1353,6 @@ class _WorkArrays:
         n = len(cidx)
         n_pad = _next_pow2(n + 1) if pad_pow2 else n + 1
         self.n_pad = n_pad
-        seq = batch.seq_matrix(cidx, w_host)
-        qual = batch.qual_matrix(cidx, w_host)
-        self.seq = np.zeros((n_pad, w_host), dtype=np.uint8)
-        self.seq[:n] = seq
-        self.qual = np.zeros((n_pad, w_host), dtype=np.uint8)
-        self.qual[:n] = qual
         self.lens = np.zeros(n_pad, dtype=np.int32)
         self.lens[:n] = np.minimum(batch.l_qseq[cidx], w_host)
         # 4-bit packed seq rows straight from the BAM payload (gather only;
@@ -1335,6 +1363,22 @@ class _WorkArrays:
         np.minimum(gidx, len(batch.data) - 1, out=gidx)
         self.seq_packed = np.zeros((n_pad, pw), dtype=np.uint8)
         self.seq_packed[:n] = batch.data[gidx]
+        qual = batch.qual_matrix(cidx, w_host)
+        counts = np.bincount(qual.reshape(-1), minlength=256)
+        nzvals = np.nonzero(counts[1:])[0].astype(np.uint8) + 1
+        self.qtable16 = np.zeros(16, dtype=np.uint8)
+        if len(nzvals) <= 15:
+            self.qual_table = self.qtable16
+            self.qtable16[1:1 + len(nzvals)] = nzvals
+            lut = np.zeros(256, dtype=np.uint8)
+            lut[nzvals] = np.arange(1, 1 + len(nzvals), dtype=np.uint8)
+            qidx = lut[qual]
+            self.qual_up = np.zeros((n_pad, pw), dtype=np.uint8)
+            self.qual_up[:n] = (qidx[:, 0::2] << 4) | qidx[:, 1::2]
+        else:
+            self.qual_table = None
+            self.qual_up = np.zeros((n_pad, w_host), dtype=np.uint8)
+            self.qual_up[:n] = qual
         self.dummy_row = n_pad - 1
 
     def row_of(self, read_idx: np.ndarray) -> np.ndarray:

@@ -244,3 +244,25 @@ def test_equivalence_placed_unmapped_no_cigar(tmp_path):
                       tlen=-140, cigar="90M")
     o, v = run_both(sb, tmp_path)
     assert_equivalent(o, v)
+
+
+def test_equivalence_duplex_multiread_strands(tmp_path):
+    """Duplex merge mutates voted output rows in place
+    (postmerge.duplex_merge_bam, cluster.cpp:190-244). Both strands must be
+    multi-read groups with injected disagreements so the mutated rows come
+    from the vote-kernel download, which arrives read-only from jax —
+    regression for the 'assignment destination is read-only' crash."""
+    import numpy as np
+    rng = np.random.default_rng(41)
+    sb = SyntheticBam(seed=41, contig_len=100_000, n_contigs=1)
+    for k in range(40):
+        pos1 = int(rng.integers(100, 90_000))
+        pos2 = pos1 + int(rng.integers(30, 120))
+        for _ in range(3):
+            sb.add_pair(0, pos1, pos2, read_len=100, umi="ACGT_TTAA",
+                        n_errors=2)
+        for _ in range(3):
+            sb.add_pair(0, pos1, pos2, read_len=100, umi="TTAA_ACGT",
+                        n_errors=2)
+    o, v = run_both(sb, tmp_path)
+    assert_equivalent(o, v)

@@ -32,9 +32,10 @@ def test_pallas_matches_xla(trial):
 
     p = list(pallas_vote.pallas_vote(seq, qual, score, valid, job_len,
                                      refbase, tj=8, interpret=True, **kw))
-    # undo the XOR-delta transfer encoding (base: seq[0]/qual[0])
-    p[0] = np.asarray(p[0]) ^ seq[0]
-    p[1] = np.asarray(p[1]) ^ qual[0]
+    # unpack the 4-bit transfer encoding of the consensus sequence
+    from gencore_tpu.engine import _unpack_nibbles
+    p[0] = _unpack_nibbles(np.asarray(p[0]))
+    p[1] = np.asarray(p[1])
     # XLA reference: [J, K, L] layout, pos_valid mask
     pos_valid = np.arange(L)[None, :] < job_len[:, None]
     x = kernels.consensus_kernel(
