@@ -3,30 +3,55 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N}
 
-Baseline: single-core reference gencore cannot be built in this image (no
-htslib), so vs_baseline uses a documented estimate of its throughput —
-200k reads/s on a modern server core (BGZF-decode-bound single-threaded
-C++; see BENCH_NOTES.md). Override with env GENCORE_BASELINE_RPS.
+Baseline: measured single-core reference gencore throughput when
+available (bench_data/baseline_ref.json, written by
+`python tools/measure_baseline.py` which builds the actual reference
+binary against native/htsshim and runs it on this exact workload).
+Fallback: env GENCORE_BASELINE_RPS, else a documented 200k reads/s
+estimate (see BENCH_NOTES.md).
 
 Workload: synthetic ultra-deep paired-end panel (duplicates + UMIs +
-errors), cached under bench_data/. The engine runs its full path: BGZF/BAM
-decode, clustering, device kernels (on the real TPU when available),
-duplex, output BAM encode.
+errors), cached under bench_data/. The timed region is the full
+end-to-end path: BGZF/BAM decode -> clustering -> device kernels (real
+TPU when reachable) -> duplex -> output BAM encode+write. Kernel
+compilation is excluded via a download-free warm pass (warm_only);
+median of N_RUNS timed runs is reported, with per-run values, stage
+timers, and measured transport health in `detail` so tunnel weather is
+distinguishable from code regressions.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BASELINE_RPS = float(os.environ.get("GENCORE_BASELINE_RPS", 200_000))
 BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_data")
 N_FRAGMENTS = int(os.environ.get("GENCORE_BENCH_FRAGMENTS", 40_000))
 DUP_MEAN = 3  # mean duplicates per fragment -> ~40000*3*2 = 240k reads
+N_RUNS = int(os.environ.get("GENCORE_BENCH_RUNS", 3))
+
+
+def resolve_baseline():
+    """(reads_per_sec, source_string). Prefers the measured reference run."""
+    p = os.path.join(BENCH_DIR, "baseline_ref.json")
+    if os.path.exists(p):
+        try:
+            with open(p) as f:
+                d = json.load(f)
+            if d.get("reads_per_sec"):
+                return float(d["reads_per_sec"]), "measured:" + d.get(
+                    "binary", "reference")
+        except Exception:
+            pass
+    env = os.environ.get("GENCORE_BASELINE_RPS")
+    if env:
+        return float(env), "env"
+    return 200_000.0, "assumed"
 
 
 def make_workload():
@@ -60,48 +85,62 @@ def make_workload():
     return bam_path, fa_path
 
 
+def probe_platform() -> bool:
+    """True when the accelerator initializes within the timeout. A wedged
+    remote tunnel must not hang the bench; if the probe fails the bench
+    re-execs itself with JAX_PLATFORMS=cpu so the platform is bound
+    correctly from process start (a mid-process jax.config switch after
+    backend init silently does nothing)."""
+    if os.environ.get("GENCORE_NO_PROBE") or os.environ.get("GENCORE_BENCH_REEXEC"):
+        return True
+    import subprocess
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=180)
+        return probe.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def measure_transport(jax, np):
+    """Transport health preamble: per-execute latency and H2D/D2H MB/s.
+    Run AFTER the prime (first D2H) so numbers reflect steady state."""
+    f = jax.jit(lambda a: a + 1)
+    lat = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        r = f(np.zeros(128, np.uint8))
+        np.asarray(r)
+        lat.append(time.perf_counter() - t0)
+    mb = 8
+    x = np.random.default_rng(0).integers(0, 255, (mb << 20,), dtype=np.uint8)
+    t0 = time.perf_counter()
+    xd = jax.device_put(x)
+    jax.block_until_ready(xd)
+    h2d = mb / max(time.perf_counter() - t0, 1e-9)
+    t0 = time.perf_counter()
+    np.asarray(xd)
+    d2h = mb / max(time.perf_counter() - t0, 1e-9)
+    return {
+        "execute_latency_ms": round(1e3 * statistics.median(lat), 1),
+        "h2d_mb_s": round(h2d, 1),
+        "d2h_mb_s": round(d2h, 1),
+    }
+
+
 def main():
     t_setup = time.time()
     bam_path, fa_path = make_workload()
 
-    from gencore_tpu.engine import VectorEngine
-    from gencore_tpu.io import bam as bamio
-    from gencore_tpu.io.fasta import FastaRef
-    from gencore_tpu.options import Options
+    tpu_ok = probe_platform()
+    if not tpu_ok:
+        env = dict(os.environ, JAX_PLATFORMS="cpu", GENCORE_BENCH_REEXEC="1",
+                   GENCORE_TPU_UNREACHABLE="1")
+        os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)], env)
 
-    # probe the accelerator first: a wedged remote TPU tunnel must not hang
-    # the bench — fall back to CPU with a visible marker instead
-    import subprocess
-    tpu_ok = True
-    if not os.environ.get("GENCORE_NO_PROBE"):
-        try:
-            probe = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
-                capture_output=True, timeout=120)
-            tpu_ok = probe.returncode == 0
-        except subprocess.TimeoutExpired:
-            tpu_ok = False
+    # persistent XLA compile cache must be configured before backend use
     import jax
-    transport_degraded = False
-    if tpu_ok and not os.environ.get("GENCORE_FORCE_TPU"):
-        # calibrate the device transport: a remote-attached chip behind a
-        # slow tunnel loses to host CPU for this host-I/O-heavy workload
-        try:
-            import numpy as _np
-            import jax.numpy as _jnp
-            x = _np.zeros((8 << 20,), dtype=_np.uint8)
-            f = jax.jit(lambda a: a.astype(_jnp.int32).sum())
-            f(x).block_until_ready()
-            t = time.time()
-            f(_np.ones((8 << 20,), dtype=_np.uint8)).block_until_ready()
-            mbps = 8.0 / max(time.time() - t, 1e-6)
-            transport_degraded = mbps < 100.0
-        except Exception:
-            transport_degraded = True
-    if not tpu_ok or transport_degraded:
-        jax.config.update("jax_platforms", "cpu")
-    # persistent XLA compile cache: fused-kernel compiles are expensive on a
-    # remote-attached TPU (~2-3 min/shape); shapes are padded to recur
     cache_dir = os.path.join(BENCH_DIR, "jax_cache")
     os.makedirs(cache_dir, exist_ok=True)
     try:
@@ -109,60 +148,89 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+    import numpy as np
+
+    # Prime the remote transport FIRST: the first device->host transfer in
+    # a process pays a large, highly variable session-acquisition cost
+    # (0.2s-150s observed) and switches the client out of its deferred
+    # record mode — any timing taken before it is fiction (ops recorded,
+    # not executed). Pay it once, up front, on a 128-byte array.
+    t0 = time.time()
+    _one = jax.jit(lambda a: a + 1)(np.zeros(128, "uint8"))
+    jax.block_until_ready(_one)
+    np.asarray(_one)
+    prime_s = time.time() - t0
     platform = jax.devices()[0].platform
+    transport = measure_transport(jax, np)
+
+    from gencore_tpu.engine import VectorEngine
+    from gencore_tpu.io import bam as bamio
+    from gencore_tpu.io.fasta import FastaRef
+    from gencore_tpu.options import Options
+
     fasta = FastaRef.load(fa_path)
     reader = bamio.BamReader(bam_path)
     batch = reader.read_all()
     n_reads = batch.n
     setup_s = time.time() - t_setup
 
-    # Prime the remote transport: the first device->host transfer in a
-    # process pays a large, highly variable session-acquisition cost
-    # (0.2s-150s observed) and switches the client out of its deferred
-    # record mode — timings taken before it are fiction (ops are recorded,
-    # not executed). Pay it once, up front, on a 128-byte array.
+    # warm pass: dispatch+compile every kernel with NO device->host
+    # transfers (engine warm_only path) so compilation is excluded from the
+    # timed runs without perturbing transport state.
     t0 = time.time()
-    _one = jax.jit(lambda a: a + 1)(__import__("numpy").zeros(128, "uint8"))
-    jax.block_until_ready(_one)
-    __import__("numpy").asarray(_one)
-    prime_s = time.time() - t0
-
-    # warm-up pass compiles all kernels (first-compile excluded from timing)
-    opt = Options()
-    warm = VectorEngine(opt, reader.header, fasta=fasta)
-    t0 = time.time()
-    outs = warm.run(batch)
+    VectorEngine(Options(), reader.header, fasta=fasta).run(
+        batch, warm_only=True)
     warm_s = time.time() - t0
 
-    # timed run (compile cache warm)
-    opt2 = Options()
-    eng = VectorEngine(opt2, reader.header, fasta=fasta)
-    batch2 = bamio.BamReader(bam_path).read_all()
-    t1 = time.time()
-    outs = eng.run(batch2)
-    # include output encode (part of end-to-end)
+    # timed runs: full end-to-end (decode -> engine -> encode+write)
+    runs = []
+    stage_tables = []
+    n_out = 0
     out_path = os.path.join(BENCH_DIR, "bench_out.bam")
-    w = bamio.BamWriter(out_path, reader.header)
-    w.write_table(outs)
-    w.close()
-    elapsed = time.time() - t1
+    for _ in range(max(N_RUNS, 1)):
+        t1 = time.time()
+        rdr = bamio.BamReader(bam_path)
+        b = rdr.read_all()
+        t_dec = time.time() - t1
+        eng = VectorEngine(Options(), rdr.header, fasta=fasta)
+        outs = eng.run(b)
+        t_wr = time.time()
+        w = bamio.BamWriter(out_path, rdr.header)
+        w.write_table(outs)
+        w.close()
+        t_wr = time.time() - t_wr
+        runs.append(time.time() - t1)
+        n_out = len(outs)
+        st = {k: round(v, 3) for k, v in sorted(eng.timer.totals.items(),
+                                                key=lambda kv: -kv[1])}
+        st["decode"] = round(t_dec, 3)
+        st["write"] = round(t_wr, 3)
+        stage_tables.append(st)
 
-    rps = n_reads / elapsed
+    med = statistics.median(runs)
+    med_idx = runs.index(med) if med in runs else 0
+    rps = n_reads / med
+    baseline_rps, baseline_src = resolve_baseline()
     result = {
         "metric": "consensus_reads_per_sec_per_chip",
         "value": round(rps, 1),
         "unit": "reads/s",
-        "vs_baseline": round(rps / BASELINE_RPS, 4),
+        "vs_baseline": round(rps / baseline_rps, 4),
         "detail": {
             "platform": platform,
+            "tpu_unreachable_fallback": bool(os.environ.get("GENCORE_TPU_UNREACHABLE")),
             "n_reads": n_reads,
-            "n_output_records": len(outs),
-            "elapsed_s": round(elapsed, 2),
-            "warm_run_s": round(warm_s, 2),
+            "n_output_records": n_out,
+            "runs_s": [round(r, 2) for r in runs],
+            "elapsed_s": round(med, 2),
+            "warm_s": round(warm_s, 2),
             "setup_s": round(setup_s, 2),
             "prime_s": round(prime_s, 2),
-            "baseline_rps_assumed": BASELINE_RPS,
-            "tpu_transport_degraded": transport_degraded,
+            "transport": transport,
+            "stages_s": stage_tables[med_idx],
+            "baseline_rps": baseline_rps,
+            "baseline_source": baseline_src,
         },
     }
     print(json.dumps(result))

@@ -647,6 +647,10 @@ class OracleEngine:
         self._tick = 0
         self._serial = 0
         self._finished = False
+        # mProcessedTid/Pos (gencore.cpp:16-17,324-389): output-drain
+        # watermark; records at/above it are written only in ~Gencore,
+        # AFTER report(), so they are excluded from reported post-stats
+        self._wm = (-1, -1)
 
     # --- output side ---
     def _emit_read(self, r: ORead):
@@ -708,6 +712,11 @@ class OracleEngine:
                     del by_left[left]
             if not by_left:
                 del self.clusters[tid]
+        # new watermark = lexmin remaining (tid, left); unchanged when the
+        # sweep leaves nothing (curProcessedTid stays INT_MAX, gencore.cpp:386)
+        rem = [(t, l) for t, bl in self.clusters.items() for l in bl]
+        if rem:
+            self._wm = min(rem)
 
     def _consensus_cluster(self, cluster: OCluster, umi_thr: int, cross_contig: bool):
         for p in cluster.cluster_by_umi(umi_thr, self.pre_stats,
@@ -765,7 +774,14 @@ class OracleEngine:
         # last; ties broken by insertion order (stands in for the pointer)
         self.out_records.sort(key=lambda kr: kr[0])
         out = [r for _, r in self.out_records]
-        for r in out:
-            nm_out = r.nm_new if r.nm_new is not None else r.nm_val
-            self.post_stats.add_read(r.tid, r.pos, r.l_qseq, nm_out)
+        # reported post-stats: only records the reference wrote before
+        # report() — strictly below the drain watermark (writeBam feeds
+        # post-stats, gencore.cpp:83-111; final drain is post-report)
+        wt, wp = self._wm
+        if wp != -1:
+            for r in out:
+                st = r.tid if r.tid >= 0 else 0x7FFFFFFF
+                if st < wt or (st == wt and r.pos < wp):
+                    nm_out = r.nm_new if r.nm_new is not None else r.nm_val
+                    self.post_stats.add_read(r.tid, r.pos, r.l_qseq, nm_out)
         return out

@@ -125,6 +125,10 @@ class OutputTable:
     def build_payload(self) -> np.ndarray:
         if self._payload is not None:
             return self._payload
+        if self.n == 0:
+            self._doff = np.zeros(1, dtype=np.int64)
+            self._payload = np.zeros(0, dtype=np.uint8)
+            return self._payload
         from gencore_tpu.io import native
         if native.get_lib() is not None and self.batch.data.flags.c_contiguous:
             out = self._build_payload_native(native)

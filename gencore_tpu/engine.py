@@ -126,7 +126,8 @@ class VectorEngine:
 
     # ------------------------------------------------------------------
     def run(self, batch: bamio.RecordBatch, *, checkpoint=None,
-            count_pre_reads: bool = True, warm_only: bool = False):
+            watermark=None, count_pre_reads: bool = True,
+            warm_only: bool = False):
         """warm_only: dispatch every device kernel (compiling them) and
         block WITHOUT any device->host download, then return None. The
         axon remote transport permanently degrades per-execute latency in
@@ -134,6 +135,7 @@ class VectorEngine:
         compiles everything while keeping the process fast for the real
         run (see BENCH_NOTES.md)."""
         self._warm_only = warm_only
+        self._watermark = (-1, -1)
         opt = self.opt
         self.batchref = batch
         n = batch.n
@@ -314,6 +316,27 @@ class VectorEngine:
             (c_tid == last_ck_tid) & (c_left < last_ck_pos) & (c_right < last_ck_pos))
         c_thr = np.where(flushed, opt.proper_reads_umi_diff_threshold,
                          opt.unproper_reads_umi_diff_threshold)
+
+        # Final watermark (mProcessedTid/Pos after the last flush tick,
+        # gencore.cpp:324-389): the lexmin (tid, left) cluster key remaining
+        # after the tick's sweep. The reference drains its output set only
+        # strictly below this key before report() — the final drain happens
+        # in ~Gencore AFTER report() (gencore.cpp:21-37) — so the REPORTED
+        # post-stats cover only records below the watermark. Validated
+        # against the actual reference binary (tools/golden_compare.py).
+        if checkpoint is not None:
+            self._watermark = watermark if watermark is not None else (-1, -1)
+        elif nclust >= TICK:
+            c_first_read = np.minimum.reduceat(s_rec, c_first)
+            for ck in cidx[TICK - 1::TICK][::-1]:
+                tb, pb = int(tid[ck]), int(pos[ck])
+                fl = (c_tid < tb) | ((c_tid == tb) & (c_left < pb) & (c_right < pb))
+                rem = ~fl & (c_first_read <= ck)
+                if rem.any():
+                    rt, rl2 = c_tid[rem], c_left[rem]
+                    j = np.lexsort((rl2, rt))[0]
+                    self._watermark = (int(rt[j]), int(rl2[j]))
+                    break
 
         rl = work.row_of(pl)
         has_right = pr >= 0
@@ -1149,7 +1172,18 @@ class VectorEngine:
         nm_patch = getattr(self, "_nm_patch", np.full(self.batchref.n, -1, dtype=np.int64))
         table = OutputTable(self.batchref, out_records, nm_vals, nm_patch)
         if table.n:
-            self.post_stats.add_reads_vectorized(*table.stats_arrays())
+            # Reported post-stats include only records the reference would
+            # have written before report(): bamComp keys strictly below the
+            # final watermark (writeBam gate, gencore.cpp:133-143; see
+            # watermark computation in run()).
+            wt, wp = getattr(self, "_watermark", (-1, -1))
+            t_, p_, l_, nm_ = table.stats_arrays()
+            if wp != -1:
+                st = np.where(t_ >= 0, t_, 0x7FFFFFFF)
+                mask = (st < wt) | ((st == wt) & (p_ < wp))
+                if mask.any():
+                    self.post_stats.add_reads_vectorized(
+                        t_[mask], p_[mask], l_[mask], nm_[mask])
         return table
 
     def _emit_raw(self, batch, i: int, out_records: list):

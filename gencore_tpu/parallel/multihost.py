@@ -51,6 +51,7 @@ def run_host(opt: Options, bam_path: str, fasta_path: str, shard_ids: list,
                           else "UMI" if "UMI_" in qn0 else "")
 
     ck = windows.global_checkpoint(batch)
+    wm = windows.global_watermark(batch, header.lengths)
     kind, left = windows.cluster_left_keys(batch)
     tlen = np.array(header.lengths, dtype=np.int64)
     base = np.zeros(len(tlen) + 1, dtype=np.int64)
@@ -67,7 +68,7 @@ def run_host(opt: Options, bam_path: str, fasta_path: str, shard_ids: list,
             continue
         sub = windows.subset_batch(batch, idx)
         eng = VectorEngine(opt, header, fasta=fasta)
-        table = eng.run(sub, checkpoint=ck, count_pre_reads=False)
+        table = eng.run(sub, checkpoint=ck, watermark=wm, count_pre_reads=False)
         table.build_payload().tofile(os.path.join(out_dir, f"shard_{s}.payload"))
         np.save(os.path.join(out_dir, f"shard_{s}.keys.npy"), table.record_keys())
         with open(os.path.join(out_dir, f"shard_{s}.stats.pkl"), "wb") as f:

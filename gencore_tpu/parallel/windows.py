@@ -64,6 +64,43 @@ def global_checkpoint(batch: bamio.RecordBatch):
     return int(batch.tid[ck]), int(batch.pos[ck])
 
 
+def global_watermark(batch: bamio.RecordBatch, header_lengths):
+    """Final output-drain watermark over the full stream: lexmin (tid, left)
+    cluster key remaining after the last tick's flush sweep
+    (gencore.cpp:324-389). Sharded runs inject this into every shard so the
+    reported (pre-destructor-drain) post-stats match a single-shot run."""
+    tid = batch.tid.astype(np.int64)
+    pos = batch.pos.astype(np.int64)
+    mtid = batch.mtid.astype(np.int64)
+    mpos = batch.mpos.astype(np.int64)
+    isize = batch.isize.astype(np.int64)
+    kind, left = cluster_left_keys(batch)
+    cidx = np.nonzero(kind == 2)[0]
+    if len(cidx) < TICK:
+        return -1, -1
+    tlen = np.array(header_lengths, dtype=np.int64)
+    t, l, mt, mp = tid[cidx], left[cidx], mtid[cidx], mpos[cidx]
+    same_near = (mt == t) & (np.abs(mp - pos[cidx]) < PAIR_GAP_LIMIT)
+    r = np.where(same_near, l + np.abs(isize[cidx]) - 1,
+                 -tlen[np.clip(t, 0, len(tlen) - 1)] * (mt + 1) + mp)
+    order = np.lexsort((r, l, t))
+    st, sl, sr = t[order], l[order], r[order]
+    new = np.ones(len(order), dtype=bool)
+    new[1:] = (st[1:] != st[:-1]) | (sl[1:] != sl[:-1]) | (sr[1:] != sr[:-1])
+    cstart = np.nonzero(new)[0]
+    c_tid, c_left, c_right = st[cstart], sl[cstart], sr[cstart]
+    first_read = np.minimum.reduceat(cidx[order], cstart)
+    for ck in cidx[TICK - 1::TICK][::-1]:
+        tb, pb = int(tid[ck]), int(pos[ck])
+        fl = (c_tid < tb) | ((c_tid == tb) & (c_left < pb) & (c_right < pb))
+        rem = ~fl & (first_read <= ck)
+        if rem.any():
+            rt, rl = c_tid[rem], c_left[rem]
+            j = np.lexsort((rl, rt))[0]
+            return int(rt[j]), int(rl[j])
+    return -1, -1
+
+
 def subset_batch(batch: bamio.RecordBatch, idx: np.ndarray) -> bamio.RecordBatch:
     """Zero-copy record subset (shared payload)."""
     return bamio.RecordBatch(batch.data, batch.off[idx], batch.end[idx])
@@ -131,6 +168,7 @@ def run_sharded(opt: Options, batch: bamio.RecordBatch, header,
         ckpt = WindowCheckpoint(checkpoint_dir, opt, n_shards)
 
     ck = global_checkpoint(batch)
+    wm = global_watermark(batch, header.lengths)
     kind, left = cluster_left_keys(batch)
 
     # shard assignment: equal spans of the concatenated genome coordinate
@@ -165,7 +203,7 @@ def run_sharded(opt: Options, batch: bamio.RecordBatch, header,
                           for f in opt.__dataclass_fields__.values()})
         eng = VectorEngine(sopt, header, fasta=fasta,
                            bed=bed.copy_structure() if bed is not None else None)
-        table = eng.run(sub, checkpoint=ck, count_pre_reads=False)
+        table = eng.run(sub, checkpoint=ck, watermark=wm, count_pre_reads=False)
         tables.append(table)
         if ckpt is not None:
             ckpt.record_shard(s, table.build_payload(), table.record_keys(),

@@ -24,9 +24,13 @@ def write_json_report(path: str, opt: Options, pre: Stats, post: Stats,
     lines.append("\t},")
     lines.append('\t"before_processing": {')
     lines.extend(pre.report_json_lines(opt.has_bed_file))
+    # reportJSON ends its block with endl, then the reporter adds another
+    # (jsonreporter.cpp:28-35): a blank line before the closing brace
+    lines.append("")
     lines.append("\t},")
     lines.append('\t"after_processing": {')
     lines.extend(post.report_json_lines(opt.has_bed_file))
+    lines.append("")
     lines.append("\t},")
     lines.append(f'\t"command": "{command}"')
     with open(path, "w") as f:

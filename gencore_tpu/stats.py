@@ -162,17 +162,15 @@ class Stats:
         return self.base - self.base_unmapped
 
     def mapping_rate(self) -> float:
-        return self.mapped_reads() / self.read if self.read else 0.0
+        return _ieee_div(self.mapped_reads(), self.read)
 
     def dup_rate(self) -> float:
-        mr = self.mapped_reads()
-        if not mr:
-            return 0.0
-        return 1.0 - (self.molecule_se + self.molecule_pe * 2) / mr
+        # 1.0 - nan = nan; 1.0 - inf = -inf (matches the C++, stats.cpp:145-147)
+        return 1.0 - _ieee_div(self.molecule_se + self.molecule_pe * 2,
+                               self.mapped_reads())
 
     def mismatch_rate(self) -> float:
-        mb = self.mapped_bases()
-        return self.base_mismatches / mb if mb else 0.0
+        return _ieee_div(self.base_mismatches, self.mapped_bases())
 
     def merge_from(self, other: "Stats"):
         """Reduce partial stats from another shard (host-level all-reduce)."""
@@ -253,13 +251,38 @@ class Stats:
             p(f"Duplex Consensus Sequence (has both 'FS' and 'RR' tags): {self.dcs_num}")
 
 
+def _ieee_div(a, b) -> float:
+    """IEEE double division incl. 0/0 -> nan and x/0 -> +-inf, like the
+    reference's unguarded C++ divisions (stats.cpp:141-151)."""
+    if b:
+        return a / b
+    if a == 0:
+        return float("nan")
+    return float("inf") if a > 0 else float("-inf")
+
+
 def _pct(a, b) -> str:
-    v = a * 100.0 / b if b else float("nan")
+    """std::to_string(a*100.0/b) — '%f'; 0/0 prints '-nan' on x86 glibc
+    (default QNaN has the sign bit set), x/0 prints 'inf'."""
+    v = _ieee_div(a * 100.0, b)
+    if v != v:
+        return "-nan"
+    if v == float("inf"):
+        return "inf"
+    if v == float("-inf"):
+        return "-inf"
     return f"{v:.6f}"
 
 
 def _cxx_num(v: float) -> str:
-    """Format a double like C++ default ostream (6 significant digits)."""
+    """Format a double like C++ default ostream (6 significant digits);
+    nan from the reference's 0/0 prints '-nan' (x86 default QNaN sign)."""
+    if v != v:
+        return "-nan"
+    if v == float("inf"):
+        return "inf"
+    if v == float("-inf"):
+        return "-inf"
     if v == 0:
         return "0"
     s = f"{v:.6g}"

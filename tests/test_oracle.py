@@ -41,7 +41,10 @@ def test_simple_dedup(tmp_path):
     assert out[0].rr_tag is None
     assert eng.post_stats.sscs_num == 1
     assert eng.pre_stats.read == 4
-    assert eng.post_stats.read == 2
+    # reported post-stats exclude records not yet drained at report time;
+    # with <10000 reads no flush tick ever fires, so the reference reports 0
+    # here (validated vs the binary — gencore.cpp:21-37 destructor drain)
+    assert eng.post_stats.read == 0
     assert eng.pre_stats.molecule == 1
     assert eng.pre_stats.supporting_histogram[2] == 1
 
