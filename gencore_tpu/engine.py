@@ -1389,16 +1389,32 @@ class _WorkArrays:
         self.n_pad = n_pad
         self.lens = np.zeros(n_pad, dtype=np.int32)
         self.lens[:n] = np.minimum(batch.l_qseq[cidx], w_host)
-        # 4-bit packed seq rows straight from the BAM payload (gather only;
-        # garbage nibbles beyond each read are masked on device by lens)
         pw = w_host // 2
-        cols = np.arange(pw, dtype=np.int64)
-        gidx = batch.seq_off[cidx][:, None] + cols[None, :]
-        np.minimum(gidx, len(batch.data) - 1, out=gidx)
-        self.seq_packed = np.zeros((n_pad, pw), dtype=np.uint8)
-        self.seq_packed[:n] = batch.data[gidx]
-        qual = batch.qual_matrix(cidx, w_host)
-        counts = np.bincount(qual.reshape(-1), minlength=256)
+        from gencore_tpu.io import native
+        use_native = (native.get_lib() is not None
+                      and batch.data.flags.c_contiguous)
+        # 4-bit packed seq rows straight from the BAM payload (threaded row
+        # copies; garbage nibbles beyond each read are masked on device)
+        seq_bytes = np.minimum((batch.l_qseq[cidx].astype(np.int64) + 1) // 2, pw)
+        if use_native:
+            self.seq_packed = np.zeros((n_pad, pw), dtype=np.uint8)
+            native.gather_rows_into(batch.data, batch.seq_off[cidx],
+                                    seq_bytes, self.seq_packed)
+        else:
+            cols = np.arange(pw, dtype=np.int64)
+            gidx = batch.seq_off[cidx][:, None] + cols[None, :]
+            np.minimum(gidx, len(batch.data) - 1, out=gidx)
+            self.seq_packed = np.zeros((n_pad, pw), dtype=np.uint8)
+            self.seq_packed[:n] = batch.data[gidx]
+            mask = cols[None, :] >= seq_bytes[:, None]
+            self.seq_packed[:n][mask] = 0
+        # qual values: histogram then (usual RTA case) nibble-index staging
+        qlens = self.lens[:n]
+        if use_native:
+            counts = native.hist_rows(batch.data, batch.qual_off[cidx], qlens)
+        else:
+            counts = np.bincount(
+                batch.qual_matrix(cidx, w_host).reshape(-1), minlength=256)
         nzvals = np.nonzero(counts[1:])[0].astype(np.uint8) + 1
         self.qtable16 = np.zeros(16, dtype=np.uint8)
         if len(nzvals) <= 15:
@@ -1406,13 +1422,18 @@ class _WorkArrays:
             self.qtable16[1:1 + len(nzvals)] = nzvals
             lut = np.zeros(256, dtype=np.uint8)
             lut[nzvals] = np.arange(1, 1 + len(nzvals), dtype=np.uint8)
-            qidx = lut[qual]
-            self.qual_up = np.zeros((n_pad, pw), dtype=np.uint8)
-            self.qual_up[:n] = (qidx[:, 0::2] << 4) | qidx[:, 1::2]
+            if use_native:
+                self.qual_up = native.pack_nib_rows(
+                    batch.data, batch.qual_off[cidx], qlens, lut, pw,
+                    n_rows=n_pad)
+            else:
+                qidx = lut[batch.qual_matrix(cidx, w_host)]
+                self.qual_up = np.zeros((n_pad, pw), dtype=np.uint8)
+                self.qual_up[:n] = (qidx[:, 0::2] << 4) | qidx[:, 1::2]
         else:
             self.qual_table = None
             self.qual_up = np.zeros((n_pad, w_host), dtype=np.uint8)
-            self.qual_up[:n] = qual
+            self.qual_up[:n] = batch.qual_matrix(cidx, w_host)
         self.dummy_row = n_pad - 1
 
     def row_of(self, read_idx: np.ndarray) -> np.ndarray:

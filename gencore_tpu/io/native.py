@@ -77,6 +77,13 @@ def get_lib():
                                      ctypes.c_int]
     lib.gc_free.restype = None
     lib.gc_free.argtypes = [ctypes.c_void_p]
+    lib.gc_hist_rows.restype = None
+    lib.gc_hist_rows.argtypes = [ctypes.c_void_p] * 3 + [ctypes.c_int64,
+                                 ctypes.c_void_p]
+    lib.gc_pack_nib_rows.restype = None
+    lib.gc_pack_nib_rows.argtypes = [ctypes.c_void_p] * 3 + [ctypes.c_int64,
+                                     ctypes.c_void_p, ctypes.c_void_p,
+                                     ctypes.c_int64, ctypes.c_int]
     _lib = lib
     return _lib
 
@@ -182,6 +189,49 @@ def copy_rows(src: np.ndarray, src_off, lens, L: int):
     lib.gc_copy_rows(np.ascontiguousarray(src, dtype=np.uint8).ctypes.data,
                      so.ctypes.data, ln.ctypes.data, len(so),
                      out.ctypes.data, L, 0)
+    return out
+
+
+def gather_rows_into(src: np.ndarray, src_off, lens, out: np.ndarray) -> bool:
+    """Copy ragged byte runs into the first len(src_off) rows of `out`
+    (zero-filling each row tail). `out` may have more (pre-zeroed) rows."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    so, ln = _c64(src_off), _c32(lens)
+    lib.gc_copy_rows(np.ascontiguousarray(src, dtype=np.uint8).ctypes.data,
+                     so.ctypes.data, ln.ctypes.data, len(so),
+                     out.ctypes.data, out.shape[1], 0)
+    return True
+
+
+def hist_rows(src: np.ndarray, src_off, lens):
+    """Byte histogram over per-record runs. Returns int64[256] or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    so, ln = _c64(src_off), _c32(lens)
+    out = np.zeros(256, dtype=np.int64)
+    lib.gc_hist_rows(np.ascontiguousarray(src, dtype=np.uint8).ctypes.data,
+                     so.ctypes.data, ln.ctypes.data, len(so), out.ctypes.data)
+    return out
+
+
+def pack_nib_rows(src: np.ndarray, src_off, lens, lut: np.ndarray, pw: int,
+                  out: np.ndarray | None = None, n_rows: int | None = None):
+    """LUT-translate ragged byte runs and nibble-pack into [n_rows, pw]
+    (zero-padded). Returns the packed matrix or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    so, ln = _c64(src_off), _c32(lens)
+    n = len(so)
+    if out is None:
+        out = np.zeros((n_rows or n, pw), dtype=np.uint8)
+    lut = np.ascontiguousarray(lut, dtype=np.uint8)
+    lib.gc_pack_nib_rows(np.ascontiguousarray(src, dtype=np.uint8).ctypes.data,
+                         so.ctypes.data, ln.ctypes.data, n,
+                         lut.ctypes.data, out.ctypes.data, pw, 0)
     return out
 
 

@@ -350,6 +350,50 @@ void gc_pack_seq_rows(const uint8_t* rows, int64_t L, const int32_t* lens,
   for (auto& t : threads) t.join();
 }
 
+// Byte histogram over per-record runs (e.g. qual values across all reads).
+void gc_hist_rows(const uint8_t* src, const int64_t* src_off,
+                  const int32_t* lens, int64_t n, int64_t* out_hist) {
+  int64_t h[256] = {0};
+  for (int64_t i = 0; i < n; ++i) {
+    const uint8_t* p = src + src_off[i];
+    for (int32_t j = 0; j < lens[i]; ++j) ++h[p[j]];
+  }
+  memcpy(out_hist, h, sizeof(h));
+}
+
+// LUT-translate per-record byte runs and pack two 4-bit codes per output
+// byte (high nibble first): out[i] is a pw-wide packed row, zero-padded.
+// Used to stage quals as nibble indices for compact device upload.
+void gc_pack_nib_rows(const uint8_t* src, const int64_t* src_off,
+                      const int32_t* lens, int64_t n, const uint8_t* lut,
+                      uint8_t* out, int64_t pw, int n_threads) {
+  int nt = hw_threads(n_threads);
+  std::atomic<int64_t> next(0);
+  const int64_t kChunk = 1024;
+  auto worker = [&]() {
+    for (;;) {
+      int64_t lo = next.fetch_add(kChunk);
+      if (lo >= n) break;
+      int64_t hi = std::min(lo + kChunk, n);
+      for (int64_t i = lo; i < hi; ++i) {
+        const uint8_t* p = src + src_off[i];
+        uint8_t* row = out + i * pw;
+        int32_t l = lens[i];
+        if (l > 2 * pw) l = (int32_t)(2 * pw);
+        int32_t j = 0;
+        int64_t k = 0;
+        for (; j + 1 < l; j += 2) row[k++] = (lut[p[j]] << 4) | lut[p[j + 1]];
+        if (j < l) row[k++] = lut[p[j]] << 4;
+        if (k < pw) memset(row + k, 0, pw - k);
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < nt; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& t : threads) t.join();
+}
+
 void gc_free(void* p) { free(p); }
 
 }  // extern "C"
