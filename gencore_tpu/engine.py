@@ -1244,6 +1244,11 @@ class VectorEngine:
     def _qname_matrix(self, batch, idx: np.ndarray):
         lens = batch.l_read_name[idx].astype(np.int64) - 1
         w = max(int(lens.max()) if len(lens) else 1, 1)
+        from gencore_tpu.io import native
+        if native.get_lib() is not None and batch.data.flags.c_contiguous:
+            m = np.zeros((len(idx), w), dtype=np.uint8)
+            native.gather_rows_into(batch.data, batch.qname_off[idx], lens, m)
+            return m, w
         cols = np.arange(w, dtype=np.int64)
         g = batch.qname_off[idx][:, None] + cols[None, :]
         np.minimum(g, len(batch.data) - 1, out=g)
