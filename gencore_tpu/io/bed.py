@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import numpy as np
+
 
 @dataclass
 class BedRegion:
@@ -84,6 +86,69 @@ class BedRegions:
             if r.start > end:
                 break
             r.count += min(r.end, end) - max(r.start, start)
+
+    def _contig_arrays(self, tid: int):
+        """Cached (starts, ends, monotonic) arrays for one contig's regions.
+        `monotonic` gates the vectorized path: the reference's scan semantics
+        (continue on r.end<start, break at first r.start>end, bed.cpp:64-79)
+        reduce to two searchsorted bounds only when both starts and ends are
+        non-decreasing in file order — true for any sorted BED."""
+        cache = getattr(self, "_arr_cache", None)
+        if cache is None:
+            cache = self._arr_cache = {}
+        v = cache.get(tid)
+        if v is None:
+            regs = self.contig_regions[tid]
+            rs = np.array([r.start for r in regs], dtype=np.int64)
+            re_ = np.array([r.end for r in regs], dtype=np.int64)
+            mono = bool(len(regs) == 0 or
+                        ((rs[1:] >= rs[:-1]).all() and (re_[1:] >= re_[:-1]).all()))
+            v = cache[tid] = (rs, re_, mono)
+        return v
+
+    def stat_depth_vectorized(self, tid: np.ndarray, start: np.ndarray,
+                              length: np.ndarray):
+        """Batch equivalent of repeated stat_depth (reference bed.cpp:64-79).
+
+        Per contig: region window per read via two searchsorted bounds
+        (sorted-BED fast path), flat np.add.at accumulation, one scatter
+        back into BedRegion counts. Unsorted contigs take the scalar scan.
+        """
+        tid = np.asarray(tid)
+        start = np.asarray(start, dtype=np.int64)
+        length = np.asarray(length, dtype=np.int64)
+        for c in range(len(self.contig_regions)):
+            regs = self.contig_regions[c]
+            if not regs:
+                continue
+            m = tid == c
+            if not m.any():
+                continue
+            rs, re_, mono = self._contig_arrays(c)
+            s = start[m]
+            e = s + length[m]
+            if not mono:
+                for sv, ev in zip(s, e):
+                    self.stat_depth(c, int(sv), int(ev - sv))
+                continue
+            # regions considered: j in [lo, hi) where re[j] >= s (continue
+            # guard) and rs[j] <= e (break guard)
+            lo = np.searchsorted(re_, s, side="left")
+            hi = np.searchsorted(rs, e, side="right")
+            cnt = np.maximum(hi - lo, 0)
+            tot = int(cnt.sum())
+            if tot == 0:
+                continue
+            ridx = np.repeat(lo, cnt) + (np.arange(tot, dtype=np.int64)
+                                         - np.repeat(np.cumsum(cnt) - cnt, cnt))
+            rrep_s = np.repeat(s, cnt)
+            rrep_e = np.repeat(e, cnt)
+            ov = (np.minimum(re_[ridx], rrep_e)
+                  - np.maximum(rs[ridx], rrep_s))
+            acc = np.zeros(len(regs), dtype=np.int64)
+            np.add.at(acc, ridx, ov)
+            for j in np.nonzero(acc)[0]:
+                regs[j].count += int(acc[j])
 
     def report_json_lines(self, target_names: list) -> list:
         """coverage_bed JSON section, byte-format-matching bed.cpp:81-98."""

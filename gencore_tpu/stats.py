@@ -98,10 +98,8 @@ class Stats:
                 buf[left_pos + 1:right_pos] += step
 
     def stat_depth_vectorized(self, tid, start, length):
-        # BED depth is rarely hot; loop it
         if self.bed_stats is not None:
-            for t, s, ln in zip(tid, start, length):
-                self.bed_stats.stat_depth(int(t), int(s), int(ln))
+            self.bed_stats.stat_depth_vectorized(tid, start, length)
         step = self.coverage_step
         for c in range(len(self.genome_depth)):
             m = tid == c
