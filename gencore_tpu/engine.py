@@ -422,7 +422,7 @@ class VectorEngine:
                 full_bins = bool((~_OK_HI[lastb]).any())
         with _T("vote"):
             self._vote_jobs(jobs, batch, work, flats, full_bins,
-                            seq_dev, qual_dev, score_dev)
+                            seq_dev, qual_dev, score_dev, ct)
 
         if warm_only:
             return None
@@ -811,28 +811,39 @@ class VectorEngine:
             self._refoff_cache[k] = v
         return v
 
-    def _refbase_batch(self, jobs_sub: list, batch) -> np.ndarray:
-        """Reference bases for jobs, batched per (cigar class, job_len):
-        vectorized contig gathers (reference group.cpp:362-367,430-439)."""
+    def _refbase_all(self, jobs: list, batch, ct, work) -> np.ndarray:
+        """Reference bases for ALL jobs at once (group.cpp:362-367,430-439):
+        vectorized grouping by (cigar class id, job_len) — one contig gather
+        per distinct class instead of per-job python byte extraction."""
         L = self.work.L
-        J = len(jobs_sub)
+        J = len(jobs)
         out = np.zeros((J, L), dtype=np.uint8)
         if self._genome is None or J == 0:
             return out
-        groups: dict = {}
-        for jj, job in enumerate(jobs_sub):
-            tr = job.template_read
-            if int(batch.isize[tr]) == 0 or int(batch.n_cigar[tr]) == 0 \
-                    or job.job_len <= 0:
+        tmpl = np.fromiter((j.template_read for j in jobs), dtype=np.int64,
+                           count=J)
+        jlen = np.fromiter((j.job_len for j in jobs), dtype=np.int64, count=J)
+        need = ((batch.isize[tmpl] != 0) & (batch.n_cigar[tmpl] != 0)
+                & (jlen > 0))
+        if not need.any():
+            return out
+        rows_w = work.row_of(tmpl)  # ct arrays are indexed by work row
+        key = ct.class_id[rows_w] * (int(jlen.max()) + 1) + jlen
+        key[~need] = -1
+        uniq, inv = np.unique(key, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        bounds = np.nonzero(np.diff(inv[order]))[0] + 1
+        for jjs in np.split(order, bounds):
+            if key[jjs[0]] < 0:
                 continue
-            key = batch.data[batch.cigar_off[tr]:batch.seq_off[tr]].tobytes()
-            groups.setdefault((key, job.job_len), []).append(jj)
-        for (key, jl), jjs in groups.items():
-            c = np.frombuffer(key, dtype=np.uint32)
-            offs = self._ref_offsets(key, c, jl)
+            tr = int(tmpl[jjs[0]])
+            ckey = batch.data[batch.cigar_off[tr]:batch.seq_off[tr]].tobytes()
+            jl = int(jlen[jjs[0]])
+            c = np.frombuffer(ckey, dtype=np.uint32)
+            offs = self._ref_offsets(ckey, c, jl)
             # span check uses getRefOffset(out, len-1)+1 (group.cpp:364)
             reflen = int(offs[jl - 1]) + 1
-            trs = np.array([jobs_sub[jj].template_read for jj in jjs])
+            trs = tmpl[jjs]
             tids = np.clip(batch.tid[trs].astype(np.int64), 0,
                            len(self._contig_len) - 1)
             poss = batch.pos[trs].astype(np.int64)
@@ -846,12 +857,11 @@ class VectorEngine:
             codes = _ASCII_TO_NT16[self._genome[gidx]]
             codes[:, offs < 0] = 0
             codes[~avail] = 0
-            rows = np.asarray(jjs)
-            out[rows[:, None], np.arange(jl)[None, :]] = codes
+            out[jjs[:, None], np.arange(jl)[None, :]] = codes
         return out
 
     def _vote_jobs(self, jobs: list, batch, work, flats, full_bins,
-                   seq_dev, qual_dev, score_dev):
+                   seq_dev, qual_dev, score_dev, ct):
         if not jobs:
             return
         import os
@@ -859,6 +869,8 @@ class VectorEngine:
         o = self.opt
         rnum, rden = kernels.ratio_fraction(o.score_percent_req)
         L = work.L
+        with self.timer.stage("vote.refbase"):
+            refbase_all = self._refbase_all(jobs, batch, ct, work)
         force = os.environ.get("GENCORE_FORCE_PALLAS", "")
         use_pallas = (not full_bins
                       and (force != ""
@@ -925,9 +937,8 @@ class VectorEngine:
                 rows[jrep, krep] = vals
                 valid[jrep, krep] = True
 
-            with _T("vote.refbase"):
-                refbase = np.zeros((J2, work.L), dtype=np.uint8)
-                refbase[:J] = self._refbase_batch([jobs[ji] for ji in jlist], batch)
+            refbase = np.zeros((J2, work.L), dtype=np.uint8)
+            refbase[:J] = refbase_all[jlist]
 
             if use_pallas:
                 outs, overrides = self._vote_pallas(
