@@ -34,7 +34,7 @@ from gencore_tpu.core.output import OutRead, OutputTable
 from gencore_tpu.core.postmerge import postprocess_cluster
 from gencore_tpu.io import bam as bamio
 from gencore_tpu.options import Options
-from gencore_tpu.stats import Stats
+from gencore_tpu.stats import MAX_SUPPORTING_READS, Stats
 from gencore_tpu.utils import cigar as cig
 from gencore_tpu.utils.tracing import StageTimer
 
@@ -427,35 +427,13 @@ class VectorEngine:
         if warm_only:
             return None
 
-        # ---- per-cluster assembly + duplex + thresholds ----
-        group_of_cluster: list = [[] for _ in range(nclusters)]
-        for gi in range(G):
-            group_of_cluster[int(g_cluster[gi])].append(gi)
-        umi_cache: dict = {}
-
-        def pair_umi_str(pi):
-            v = umi_cache.get(pi)
-            if v is None:
-                v = umivec.umi_string(u_mat, u_start, u_len, pi)
-                umi_cache[pi] = v
-            return v
-
+        # ---- per-cluster assembly + duplex + thresholds (columnar) ----
         with _T("assemble"):
-            for ci in range(nclusters):
-                glist = group_of_cluster[ci]
-                if not glist:
-                    continue
-                self.pre_stats.add_cluster(len(glist) > 1)
-                singles = []
-                for gi in glist:
-                    singles.append(self._assemble_group(
-                        gi, group_slices[gi], bool(g_single[gi]), bool(g_cross[gi]),
-                        side_jobs, jobs, batch, pl, pr, work, pair_umi_str))
-                has_umi = bool(pair_has_umi[c_pair_start[ci]:c_pair_end[ci]].any())
-                results = postprocess_cluster(singles, has_umi, opt,
-                                              self.pre_stats, self.post_stats)
-                for pair in results:
-                    self._emit_pair(pair, out_records)
+            self._assemble_all(
+                nclusters, G, g_cluster, g_sizes, g_start, g_single, g_cross,
+                group_slices, side_jobs, jobs, batch, pl, pr, work,
+                pair_has_umi, c_pair_start, mem_pairs,
+                u_mat, u_start, u_len, out_records)
 
         with _T("finalize"):
             return self._finalize(out_records)
@@ -1097,6 +1075,184 @@ class VectorEngine:
                                    int(sout[2][si]), int(sout[3][si]))
                          for si, jj in enumerate(sj)}
         return out, overrides
+
+    # ------------------------------------------------------------------
+    def _assemble_all(self, nclusters, G, g_cluster, g_sizes, g_start,
+                      g_single, g_cross, group_slices, side_jobs, jobs,
+                      batch, pl, pr, work, pair_has_umi, c_pair_start,
+                      mem_pairs, u_mat, u_start, u_len, out_records):
+        """Columnar cluster tail: duplex eligibility, supporting-read
+        thresholds, SSCS tagging, qname reconciliation, NM patching, stats
+        and record emission for ALL clusters at once (reference
+        cluster.cpp:102-188, pair.cpp:43-68, group.cpp:94-131).
+
+        Order-sensitive clusters — >=2 groups under duplex pairing (the
+        back-pop duplex scan, cluster.cpp:119-155) or any cross-contig
+        group (qname min-scan, group.cpp:94-113) — take the scalar OPair
+        path per cluster; everything else is batched numpy."""
+        opt = self.opt
+        pre, post = self.pre_stats, self.post_stats
+        if G == 0:
+            return
+        umi_cache: dict = {}
+
+        def pair_umi_str(pi):
+            v = umi_cache.get(pi)
+            if v is None:
+                v = umivec.umi_string(u_mat, u_start, u_len, pi)
+                umi_cache[pi] = v
+            return v
+
+        # cluster geometry over the (cluster-sorted) group axis
+        cg_start = np.searchsorted(g_cluster, np.arange(nclusters))
+        n_groups = np.append(cg_start[1:], G) - cg_start
+        has_umi_cl = np.logical_or.reduceat(pair_has_umi, c_pair_start)
+        eligible = has_umi_cl & (not opt.disable_duplex)
+        cross_cl = np.logical_or.reduceat(g_cross, cg_start)
+        scalar_cl = (eligible & (n_groups >= 2)) | cross_cl
+        vec_g = ~scalar_cl[g_cluster]
+
+        # per-group columns
+        lj = side_jobs[True]
+        rj = side_jobs[False]
+        njobs = len(jobs)
+        job_tr = np.fromiter((j.template_read for j in jobs), np.int64, njobs)
+        job_minc = np.fromiter((j.minc for j in jobs), np.int64, njobs)
+        if njobs == 0:  # all groups single / elections abandoned
+            job_tr = np.full(1, -1, dtype=np.int64)
+            job_minc = np.zeros(1, dtype=np.int64)
+        single = g_single
+        first_pair = mem_pairs[g_start[:-1]]
+        l_ex = np.where(single, True, lj >= 0)
+        r_ex = np.where(single, False, rj >= 0)
+        pe = l_ex & r_ex
+        merge_reads = g_sizes
+        emitted = (not opt.duplex_only) & (merge_reads >= opt.cluster_size_req)
+
+        # ---- vectorized stats for vector clusters/groups ----
+        vsel = np.nonzero(vec_g)[0]
+        vec_cl = ~scalar_cl
+        pre.cluster += int(vec_cl.sum())
+        pre.multi_molecule_cluster += int((n_groups[vec_cl] > 1).sum())
+        mr_v = merge_reads[vsel]
+        small = mr_v < MAX_SUPPORTING_READS
+        pre.molecule += len(vsel)
+        if len(vsel):
+            hist = np.bincount(mr_v[small], minlength=MAX_SUPPORTING_READS)
+            pre.supporting_histogram += hist[:MAX_SUPPORTING_READS]
+        pre.uncounted_supporting_reads += int((~small).sum())
+        pe_v = pe[vsel]
+        pre.molecule_pe += int(pe_v.sum())
+        pre.molecule_se += int((~pe_v).sum())
+        em_v = emitted[vsel]
+        n_em = int(em_v.sum())
+        post.sscs_num += n_em
+        emc = np.add.reduceat((vec_g & emitted).astype(np.int64), cg_start)
+        post.cluster += int(((emc > 0) & vec_cl).sum())
+        post.multi_molecule_cluster += int(((emc > 1) & vec_cl).sum())
+        post.molecule += n_em
+        post.supporting_histogram[1] += n_em
+        post.molecule_pe += int((pe_v & em_v).sum())
+        post.molecule_se += int((~pe_v & em_v).sum())
+
+        # ---- qname reconciliation + NM for non-single vector groups ----
+        ljc = np.clip(lj, 0, None)
+        rjc = np.clip(rj, 0, None)
+        tr_l = np.where(lj >= 0, job_tr[ljc], -1)
+        tr_r = np.where(rj >= 0, job_tr[rjc], -1)
+        qlen = batch.l_read_name.astype(np.int64)  # includes NUL
+        pql_l = ((qlen[np.clip(tr_l, 0, None)] + 3) // 4) * 4
+        pql_r = ((qlen[np.clip(tr_r, 0, None)] + 3) // 4) * 4
+        both = (lj >= 0) & (rj >= 0) & ~single
+        use_left = pql_l <= pql_r
+        qrec_l = tr_l.copy()
+        qrec_r = tr_r.copy()
+        m = both & use_left
+        qrec_r[m] = tr_l[m]
+        m = both & ~use_left
+        qrec_l[m] = tr_r[m]
+
+        def _nm_side(jarr, trarr):
+            mc = np.where(jarr >= 0, job_minc[np.clip(jarr, 0, None)], 0)
+            trc = np.clip(trarr, 0, None)
+            newnm = np.where(trarr >= 0, self._nm_vals[trc], 0) + mc
+            ok = ((jarr >= 0) & (mc != 0) & (mc <= 5)
+                  & (self._nm_patch[trc] >= 0) & (newnm >= 0) & (newnm <= 255))
+            return np.where(ok, newnm, -1)
+
+        nm_l = _nm_side(lj, tr_l)
+        nm_r = _nm_side(rj, tr_r)
+        fr_val = np.minimum(merge_reads, 65535) & 0xFF
+
+        # ---- scalar clusters (rare): exact OPair path ----
+        scalar_results = {}
+        for ci in np.nonzero(scalar_cl)[0]:
+            pre.add_cluster(bool(n_groups[ci] > 1))
+            singles = [self._assemble_group(
+                gi, group_slices[gi], bool(g_single[gi]), bool(g_cross[gi]),
+                side_jobs, jobs, batch, pl, pr, work, pair_umi_str)
+                for gi in range(int(cg_start[ci]),
+                                int(cg_start[ci] + n_groups[ci]))]
+            scalar_results[int(ci)] = postprocess_cluster(
+                singles, bool(has_umi_cl[ci]), opt, pre, post)
+
+        # ---- emission in cluster order ----
+        lq = batch.l_qseq
+        out_append = out_records.append
+
+        def emit_vec(gi):
+            fr = int(fr_val[gi])
+            if single[gi]:
+                r = OutRead(batch, int(pl[first_pair[gi]]))
+                r.fr_tag = fr
+                self._serial += 1
+                r.serial = self._serial
+                out_append(r)
+                return
+            jid = lj[gi]
+            if jid >= 0:
+                job = jobs[jid]
+                n = int(lq[job.template_read])
+                r = OutRead(batch, job.template_read,
+                            seq=job.new_seq[:n], qual=job.new_qual[:n])
+                r.qname_rec = int(qrec_l[gi])
+                if nm_l[gi] >= 0:
+                    r.nm_new = int(nm_l[gi])
+                r.fr_tag = fr
+                self._serial += 1
+                r.serial = self._serial
+                out_append(r)
+            jid = rj[gi]
+            if jid >= 0:
+                job = jobs[jid]
+                n = int(lq[job.template_read])
+                r = OutRead(batch, job.template_read,
+                            seq=job.new_seq[:n], qual=job.new_qual[:n])
+                r.qname_rec = int(qrec_r[gi])
+                if nm_r[gi] >= 0:
+                    r.nm_new = int(nm_r[gi])
+                r.fr_tag = fr
+                self._serial += 1
+                r.serial = self._serial
+                out_append(r)
+
+        vec_emit = np.nonzero(vec_g & emitted & (l_ex | r_ex))[0]
+        if not scalar_results:
+            for gi in vec_emit:
+                emit_vec(int(gi))
+            return
+        vec_emit_cl = g_cluster[vec_emit]
+        vp = 0
+        nvec = len(vec_emit)
+        for ci in range(nclusters):
+            res = scalar_results.get(ci)
+            if res is not None:
+                for pair in res:
+                    self._emit_pair(pair, out_records)
+            else:
+                while vp < nvec and vec_emit_cl[vp] == ci:
+                    emit_vec(int(vec_emit[vp]))
+                    vp += 1
 
     # ------------------------------------------------------------------
     def _assemble_group(self, gi, pair_ids, is_single, cross_contig,
