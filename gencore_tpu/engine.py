@@ -272,8 +272,8 @@ class VectorEngine:
             import jax
             with _T("materialize.updispatch"):
                 seq_dev, qual_dev = _upload_unpack_fn(
-                    work.w_host, work.L, work.qual_table is not None)(
-                    work.seq_packed, work.qual_up, work.lens, work.qtable16)
+                    work.w_host, work.L, work.qual_mode, work.seq_mode)(
+                    work.seq_up, work.qual_up, work.lens, work.qtable16)
             if _SYNC_STAGES:
                 with _T("materialize.upwait"):
                     jax.block_until_ready(seq_dev)
@@ -838,6 +838,92 @@ class VectorEngine:
             out[jjs[:, None], np.arange(jl)[None, :]] = codes
         return out
 
+    def _genome_dev(self):
+        """NT16-coded genome resident in HBM, cached on the FastaRef so it
+        uploads once per reference (reused across runs/windows/shards).
+        Padded by _GENOME_PAD so clamped end-of-genome dynamic slices never
+        shift real data."""
+        key = ("nt16", len(self._genome))
+        cache = getattr(self.fasta, "_gdev_cache", None)
+        if cache is not None and cache[0] == key:
+            return cache[1]
+        gn = np.pad(_ASCII_TO_NT16[self._genome], (0, _GENOME_PAD))
+        dev = _upload_fn()(gn, np.zeros(1, np.uint8))[0]
+        if self.fasta is not None:
+            self.fasta._gdev_cache = (key, dev)
+        return dev
+
+    def _refbase_device(self, jobs: list, batch, ct, work):
+        """Reference rows computed ON DEVICE (group.cpp:362-367,430-439):
+        contiguous all-M cigar classes (the overwhelmingly common case)
+        gather their rows straight from the HBM-resident genome — replacing
+        a [J, L] host build + upload (~20MB/run over a 25MB/s transport)
+        with a [J] int32 upload. Non-contiguous classes (indels/clips
+        shifting ref offsets) still build host rows, shipped compactly.
+        Returns a device [J2, L] uint8 array (J2 = J padded pow2)."""
+        L = self.work.L
+        J = len(jobs)
+        tmpl = np.fromiter((j.template_read for j in jobs), np.int64, J)
+        jlen = np.fromiter((j.job_len for j in jobs), np.int64, J)
+        need = ((batch.isize[tmpl] != 0) & (batch.n_cigar[tmpl] != 0)
+                & (jlen > 0))
+        gpos = np.zeros(J, dtype=np.int32)
+        host_map = np.zeros(J, dtype=np.int32)  # row 0 = all-zero row
+        host_rows = [np.zeros((1, L), dtype=np.uint8)]
+        jl32 = np.zeros(J, dtype=np.int32)
+        if need.any():
+            rows_w = work.row_of(tmpl)
+            key = ct.class_id[rows_w] * (int(jlen.max()) + 1) + jlen
+            key[~need] = -1
+            uniq, inv = np.unique(key, return_inverse=True)
+            order = np.argsort(inv, kind="stable")
+            bounds = np.nonzero(np.diff(inv[order]))[0] + 1
+            for jjs in np.split(order, bounds):
+                if key[jjs[0]] < 0:
+                    continue
+                tr = int(tmpl[jjs[0]])
+                ckey = batch.data[batch.cigar_off[tr]:batch.seq_off[tr]].tobytes()
+                jl = int(jlen[jjs[0]])
+                c = np.frombuffer(ckey, dtype=np.uint32)
+                offs = self._ref_offsets(ckey, c, jl)
+                reflen = int(offs[jl - 1]) + 1
+                trs = tmpl[jjs]
+                tids = np.clip(batch.tid[trs].astype(np.int64), 0,
+                               len(self._contig_len) - 1)
+                poss = batch.pos[trs].astype(np.int64)
+                clen = self._contig_len[tids]
+                avail = (clen > 0) & (poss + reflen < clen)
+                if not avail.any():
+                    continue
+                base = self._contig_base[tids]
+                if reflen == jl and bool((offs == np.arange(jl)).all()):
+                    sel = jjs[avail]
+                    gpos[sel] = (base + poss)[avail].astype(np.int32)
+                    host_map[sel] = -1
+                    jl32[sel] = jl
+                else:
+                    gidx = base[:, None] + poss[:, None] + offs[None, :]
+                    np.clip(gidx, 0, max(len(self._genome) - 1, 0), out=gidx)
+                    codes = _ASCII_TO_NT16[self._genome[gidx]]
+                    codes[:, offs < 0] = 0
+                    codes[~avail] = 0
+                    rows = np.zeros((len(jjs), L), dtype=np.uint8)
+                    rows[:, :jl] = codes
+                    start = sum(r.shape[0] for r in host_rows)
+                    host_rows.append(rows)
+                    host_map[jjs] = np.arange(start, start + len(jjs),
+                                              dtype=np.int32)
+        J2 = _next_pow2(max(J, 1)) if self._pad_shapes else J
+        hr = np.concatenate(host_rows, axis=0)
+        H2 = _next_pow2(hr.shape[0]) if self._pad_shapes else hr.shape[0]
+        hr = np.pad(hr, ((0, H2 - hr.shape[0]), (0, 0)))
+        return _refbase_combine_fn(L)(
+            self._genome_dev(),
+            np.pad(gpos, (0, J2 - J)),
+            hr,
+            np.pad(host_map, (0, J2 - J)),
+            np.pad(jl32, (0, J2 - J)))
+
     def _vote_jobs(self, jobs: list, batch, work, flats, full_bins,
                    seq_dev, qual_dev, score_dev, ct):
         if not jobs:
@@ -847,14 +933,21 @@ class VectorEngine:
         o = self.opt
         rnum, rden = kernels.ratio_fraction(o.score_percent_req)
         L = work.L
-        with self.timer.stage("vote.refbase"):
-            refbase_all = self._refbase_all(jobs, batch, ct, work)
         force = os.environ.get("GENCORE_FORCE_PALLAS", "")
         use_pallas = (not full_bins
                       and (force != ""
                            or (jax.default_backend() != "cpu"
                                and not os.environ.get("GENCORE_NO_PALLAS"))))
         self._pallas_interpret = force == "interp"
+        refbase_all = refbase_dev = None
+        with self.timer.stage("vote.refbase"):
+            if (use_pallas and self._genome is not None
+                    and len(self._genome) < 2**31 - _GENOME_PAD
+                    and L <= _GENOME_PAD
+                    and not os.environ.get("GENCORE_NO_DEVREF")):
+                refbase_dev = self._refbase_device(jobs, batch, ct, work)
+            else:
+                refbase_all = self._refbase_all(jobs, batch, ct, work)
         buckets: dict = {}
         for ji, job in enumerate(jobs):
             kb = _next_pow2(max(job.k, 1))
@@ -915,13 +1008,32 @@ class VectorEngine:
                 rows[jrep, krep] = vals
                 valid[jrep, krep] = True
 
-            refbase = np.zeros((J2, work.L), dtype=np.uint8)
-            refbase[:J] = refbase_all[jlist]
+            # VMEM: ~36 live [tj, L] i32 temporaries in the kernel +
+            # double-buffered block IO must fit in scoped VMEM; start small
+            # (failed compiles cost seconds on a remote toolchain) —
+            # pallas_vote halves further on OOM
+            tj0 = max(8, min(32, 1024 // kb))
+            if J2 % tj0:
+                pad = tj0 - J2 % tj0
+                rows = np.pad(rows, ((0, pad), (0, 0)),
+                              constant_values=work.dummy_row)
+                shifts = np.pad(shifts, ((0, pad), (0, 0)))
+                valid = np.pad(valid, ((0, pad), (0, 0)))
+                jl_arr = np.pad(jl_arr, (0, pad))
+                J2 += pad
+            if refbase_dev is not None:
+                ridx = np.zeros(J2, dtype=np.int32)
+                ridx[:J] = jlist
+                refbase = _gather_one(refbase_dev, ridx)
+            else:
+                refbase = np.zeros((J2, work.L), dtype=np.uint8)
+                refbase[:J] = refbase_all[jlist]
 
             if use_pallas:
                 outs, overrides = self._vote_pallas(
                     kb, rows, shifts, valid, jl_arr, refbase, shifted_jj,
-                    work, batch, seq_dev, qual_dev, score_dev, rnum, rden)
+                    work, batch, seq_dev, qual_dev, score_dev, rnum, rden,
+                    tj0)
                 if _SYNC_STAGES:
                     with _T("vote.device"):
                         jax.block_until_ready(outs.dev_out)
@@ -995,31 +1107,19 @@ class VectorEngine:
 
     def _vote_pallas(self, kb, rows, shifts, valid, jl_arr, refbase,
                      shifted_jj, work, batch, seq_dev, qual_dev, score_dev,
-                     rnum, rden):
+                     rnum, rden, tj):
         """TPU voting via the Pallas kernel: device row-gather + pallas vote;
         the rare lenDiff-shifted jobs (right-mode mixed-length members,
         group.cpp:339-349) are re-gathered host-side with shifts applied and
         voted in a second small pallas call whose results override the main
-        bucket's rows at collection time.
+        bucket's rows at collection time. Inputs arrive tj-padded; refbase
+        may be a device array (genome-gathered rows, see _refbase_device).
 
         Returns (_PackedOut, overrides) — overrides maps bucket-local job
         index -> (packed_seq_row, qual_row, diff, minc)."""
         from gencore_tpu.core import pallas_vote
         o = self.opt
-        # VMEM: ~36 live [tj, L] i32 temporaries in the kernel + double-buffered
-        # block IO must fit in scoped VMEM; start small (failed compile
-        # attempts cost seconds on a remote toolchain) — pallas_vote halves
-        # further on OOM
-        tj = max(8, min(32, 1024 // kb))
         J2 = rows.shape[0]
-        if J2 % tj:
-            pad = tj - J2 % tj
-            rows = np.pad(rows, ((0, pad), (0, 0)), constant_values=work.dummy_row)
-            shifts = np.pad(shifts, ((0, pad), (0, 0)))
-            valid = np.pad(valid, ((0, pad), (0, 0)))
-            jl_arr = np.pad(jl_arr, (0, pad))
-            refbase = np.pad(refbase, ((0, pad), (0, 0)))
-            J2 += pad
         g_seq, g_qual, g_score = _gather_rows_T(seq_dev, qual_dev, score_dev,
                                                 rows.T)
         kw = dict(hi=o.high_quality, mod=o.moderate_quality, lo=o.low_quality,
@@ -1065,10 +1165,16 @@ class VectorEngine:
                     hqual[k, si, :L - d] = qrow[d:]
                     hscore[k, si, :L - d] = srow[d:]
                     hvalid[k, si] = True
+            if isinstance(refbase, np.ndarray):
+                rb_sj = np.pad(refbase[sj], ((0, S2 - n_s), (0, 0)))
+            else:  # device refbase: pull the few shifted rows to host
+                sj_pad = np.zeros(S2, dtype=np.int32)
+                sj_pad[:n_s] = sj
+                rb_sj = np.asarray(_gather_one(refbase, sj_pad))
+                rb_sj[n_s:] = 0
             sout = pallas_vote.pallas_vote(
                 hseq, hqual, hscore, hvalid,
-                np.pad(jl_arr[sj], (0, S2 - n_s)),
-                np.pad(refbase[sj], ((0, S2 - n_s), (0, 0))),
+                np.pad(jl_arr[sj], (0, S2 - n_s)), rb_sj,
                 out_len=self.out_len, **kw)
             sout = [np.asarray(x) for x in sout]
             overrides = {int(jj): (sout[0][si], sout[1][si],
@@ -1439,27 +1545,43 @@ def _upload_fn():
 
 
 @_functools.cache
-def _upload_unpack_fn(w_host: int, L: int, qual_packed: bool):
-    """Upload path: 4-bit packed seq (+ nibble-indexed quals with a value
-    table when qual_packed) go over the wire; the chip unpacks, decodes,
-    masks beyond each read length, and zero-pads to the kernel width L.
-    ~3x fewer upload bytes than dense [n, L] u8 matrices."""
+def _upload_unpack_fn(w_host: int, L: int, qual_mode: str, seq_mode: str):
+    """Upload path: packed seq + packed/indexed quals go over the wire; the
+    chip unpacks, decodes, masks beyond each read length, and zero-pads to
+    the kernel width L. seq_mode: '2bit' (pure ACGT data — code = 1<<idx)
+    or '4bit' (BAM nibbles). qual_mode: '2bit' (<=3 distinct values),
+    '4bit' (<=15), or 'raw'. The remote transport has no wire compression
+    (BENCH_NOTES.md), so upload bytes are the dominant cost: 2-bit modes
+    ship 4 bases/byte — 6x fewer bytes than dense u8 matrices."""
     import jax
     import jax.numpy as jnp
 
+    def un2(packed, n):
+        cols = [(packed >> 6) & 3, (packed >> 4) & 3,
+                (packed >> 2) & 3, packed & 3]
+        return jnp.stack(cols, axis=-1).reshape(n, -1)[:, :w_host]
+
+    def un4(packed, n):
+        return jnp.stack([packed >> 4, packed & 0xF],
+                         axis=-1).reshape(n, -1)[:, :w_host]
+
     @jax.jit
-    def up(seq_packed, qual_up, lens, qtable):
-        n = seq_packed.shape[0]
-        hi = seq_packed >> 4
-        lo = seq_packed & 0xF
-        seq = jnp.stack([hi, lo], axis=-1).reshape(n, -1)[:, :w_host]
+    def up(seq_up, qual_up, lens, qtable):
+        n = seq_up.shape[0]
+        if seq_mode == "2bit":
+            seq = (jnp.uint8(1) << un2(seq_up, n))
+        else:
+            seq = un4(seq_up, n)
         j = jnp.arange(w_host, dtype=jnp.int32)[None, :]
         keep = j < lens[:, None]
         seq = jnp.where(keep, seq, 0)
-        if qual_packed:
-            qh = qual_up >> 4
-            ql = qual_up & 0xF
-            qidx = jnp.stack([qh, ql], axis=-1).reshape(n, -1)[:, :w_host]
+        if qual_mode == "2bit":
+            qidx = un2(qual_up, n)
+            qual = jnp.zeros_like(qidx)
+            for i in range(1, 4):
+                qual = jnp.where(qidx == i, qtable[i], qual)
+        elif qual_mode == "4bit":
+            qidx = un4(qual_up, n)
             qual = jnp.zeros_like(qidx)
             for i in range(1, 16):
                 qual = jnp.where(qidx == i, qtable[i], qual)
@@ -1472,6 +1594,41 @@ def _upload_unpack_fn(w_host: int, L: int, qual_packed: bool):
         return seq, qual
 
     return up
+
+
+# BAM nibble byte (2 bases) -> 2-bit code pair; only meaningful for bytes
+# passing the _PAIR_ACGT/_HI_ACGT validity check below (and 0 = padding)
+_NIB2B = np.zeros(256, dtype=np.uint8)
+_PAIR_ACGT = np.zeros(256, dtype=bool)  # both nibbles in {1,2,4,8}
+_HI_ACGT = np.zeros(256, dtype=bool)    # hi in {1,2,4,8}, lo == 0 (odd tail)
+for _hi in range(4):
+    _HI_ACGT[(1 << _hi) << 4] = True
+    _NIB2B[(1 << _hi) << 4] = _hi << 2
+    for _lo in range(4):
+        _b = ((1 << _hi) << 4) | (1 << _lo)
+        _NIB2B[_b] = (_hi << 2) | _lo
+        _PAIR_ACGT[_b] = True
+
+
+_GENOME_PAD = 4096  # device-genome end slack; also caps device-refbase L
+
+
+@_functools.cache
+def _refbase_combine_fn(L: int):
+    """Device refbase assembly: genome slice-gather for contiguous-M jobs
+    (host_map < 0), compact host-built rows for the rest."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def f(genome, gpos, host_rows, host_map, jl):
+        g = jax.vmap(lambda s: jax.lax.dynamic_slice(genome, (s,), (L,)))(gpos)
+        keep = jnp.arange(L, dtype=jnp.int32)[None, :] < jl[:, None]
+        g = jnp.where(keep, g, 0)
+        h = host_rows[jnp.clip(host_map, 0, host_rows.shape[0] - 1)]
+        return jnp.where((host_map < 0)[:, None], g, h)
+
+    return f
 
 
 @_functools.cache
@@ -1607,6 +1764,36 @@ class _WorkArrays:
             self.qual_up = np.zeros((n_pad, w_host), dtype=np.uint8)
             self.qual_up[:n] = batch.qual_matrix(cidx, w_host)
         self.dummy_row = n_pad - 1
+
+        # 2-bit staging when the data allows (pure-ACGT bases / <=3 distinct
+        # qual values): 4 items per wire byte instead of 2
+        self.seq_up = self.seq_packed
+        self.seq_mode = "4bit"
+        cols = np.arange(pw, dtype=np.int64)[None, :]
+        ql64 = qlens.astype(np.int64)[:, None]
+        in_full = cols < (ql64 // 2)
+        odd_pos = (cols == ql64 // 2) & (ql64 % 2 == 1)
+        b = self.seq_packed[:n]
+        bad = (~_PAIR_ACGT[b] & in_full) | (~_HI_ACGT[b] & odd_pos)
+        if not bad.any():
+            v = _NIB2B[b]
+            s2 = np.zeros((n_pad, (pw + 1) // 2), dtype=np.uint8)
+            if pw % 2:
+                v = np.pad(v, ((0, 0), (0, 1)))
+            s2[:n] = (v[:, 0::2] << 4) | v[:, 1::2]
+            self.seq_up = s2
+            self.seq_mode = "2bit"
+        if self.qual_table is not None and len(nzvals) <= 3:
+            self.qual_mode = "2bit"
+            bq = self.qual_up
+            vq = ((bq >> 4) << 2) | (bq & 0xF)
+            if pw % 2:
+                vq = np.pad(vq, ((0, 0), (0, 1)))
+            self.qual_up = (vq[:, 0::2] << 4) | vq[:, 1::2]
+        elif self.qual_table is not None:
+            self.qual_mode = "4bit"
+        else:
+            self.qual_mode = "raw"
 
     def row_of(self, read_idx: np.ndarray) -> np.ndarray:
         return np.searchsorted(self.cidx, read_idx)
