@@ -164,10 +164,12 @@ def main():
     platform = jax.devices()[0].platform
     transport = measure_transport(jax, np)
 
-    from gencore_tpu.engine import VectorEngine
     from gencore_tpu.io import bam as bamio
     from gencore_tpu.io.fasta import FastaRef
     from gencore_tpu.options import Options
+    from gencore_tpu.parallel import pipeline as pipe
+
+    n_windows = int(os.environ.get("GENCORE_BENCH_WINDOWS", 0))
 
     fasta = FastaRef.load(fa_path)
     reader = bamio.BamReader(bam_path)
@@ -177,13 +179,14 @@ def main():
 
     # warm pass: dispatch+compile every kernel with NO device->host
     # transfers (engine warm_only path) so compilation is excluded from the
-    # timed runs without perturbing transport state.
+    # timed runs without perturbing transport state. Uses the same window
+    # plan as the timed runs so bucket shapes match.
     t0 = time.time()
-    VectorEngine(Options(), reader.header, fasta=fasta).run(
-        batch, warm_only=True)
+    pipe.run_pipelined(Options(), batch, reader.header, fasta=fasta,
+                       n_windows=n_windows, warm_only=True)
     warm_s = time.time() - t0
 
-    # timed runs: full end-to-end (decode -> engine -> encode+write)
+    # timed runs: full end-to-end (decode -> pipelined engine -> encode+write)
     runs = []
     stage_tables = []
     n_out = 0
@@ -193,16 +196,21 @@ def main():
         rdr = bamio.BamReader(bam_path)
         b = rdr.read_all()
         t_dec = time.time() - t1
-        eng = VectorEngine(Options(), rdr.header, fasta=fasta)
-        outs = eng.run(b)
+        stage_sum: dict = {}
+        tables, pre_stats, post_stats = pipe.run_pipelined(
+            Options(), b, rdr.header, fasta=fasta, n_windows=n_windows,
+            stage_totals=stage_sum)
         t_wr = time.time()
+        payload = pipe.merged_payload(tables)
         w = bamio.BamWriter(out_path, rdr.header)
-        w.write_table(outs)
+        w.write_payload(payload)
         w.close()
         t_wr = time.time() - t_wr
         runs.append(time.time() - t1)
-        n_out = len(outs)
-        st = {k: round(v, 3) for k, v in sorted(eng.timer.totals.items(),
+        n_out = sum(len(t) for t in tables)
+        # summed per-window stage times: wall-clock overlap means these
+        # exceed elapsed; they attribute where time goes, not the critical path
+        st = {k: round(v, 3) for k, v in sorted(stage_sum.items(),
                                                 key=lambda kv: -kv[1])}
         st["decode"] = round(t_dec, 3)
         st["write"] = round(t_wr, 3)

@@ -49,7 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU engine knobs (no reference counterpart)
     p.add_argument("--oracle", action="store_true",
                    help="use the scalar oracle engine (debugging)")
-    p.add_argument("--window_size", type=int, default=4_000_000)
+    p.add_argument("--windows", type=int, default=0,
+                   help="pipeline over N coordinate windows (0 = auto; 1 = "
+                        "single-shot). Host prep of window k+1 overlaps "
+                        "device voting of window k")
+    p.add_argument("--devices", type=int, default=1,
+                   help="round-robin pipeline windows over N local chips")
     p.add_argument("--shards", type=int, default=1,
                    help="process in N coordinate shards (bounds peak memory; "
                         "same outputs as a single pass)")
@@ -73,7 +78,6 @@ def options_from_args(args) -> Options:
         debug=args.debug, duplex_only=args.duplex_only,
         disable_duplex=args.no_duplex,
         json_file=args.json, html_file=args.html,
-        window_size=args.window_size,
     )
     opt.validate()
     return opt
@@ -157,35 +161,65 @@ def main(argv=None) -> int:
         bed = BedRegions.load(opt.bed_file, header.names)
         opt.has_bed_file = True
 
+    class _MergedResult:
+        def __init__(self, pre, post):
+            self.pre_stats = pre
+            self.post_stats = post
+
+    sam_out = opt.output.endswith("sam") or opt.output == "-"
     if args.shards > 1 and not args.oracle:
         from gencore_tpu.parallel import windows as win
-
-        class _ShardedResult:
-            pass
 
         tables, pre_stats, post_stats = win.run_sharded(
             opt, reader.read_all(), header, fasta=fasta, bed=bed,
             n_shards=args.shards,
             checkpoint_dir=args.checkpoint_dir or None)
-        engine = _ShardedResult()
-        engine.pre_stats = pre_stats
-        engine.post_stats = post_stats
+        engine = _MergedResult(pre_stats, post_stats)
         outs = win.merged_records(tables)
     elif args.oracle:
         from gencore_tpu.core.oracle import OracleEngine as EngineCls
         engine = EngineCls(opt, header, fasta=fasta, bed=bed)
         outs = engine.run(reader.read_all())
     else:
-        from gencore_tpu.engine import VectorEngine as EngineCls
-        engine = EngineCls(opt, header, fasta=fasta, bed=bed)
-        outs = engine.run(reader.read_all())
+        from gencore_tpu.engine import VectorEngine
+        batch = reader.read_all()
+        use_pipeline = (args.windows != 1 and opt.max_contig == 0
+                        and (args.windows > 1 or args.devices > 1
+                             or batch.n >= 80_000))
+        if use_pipeline:
+            from gencore_tpu.parallel import pipeline as pipe
+            devices = None
+            if args.devices > 1:
+                import jax
+                devices = jax.local_devices()[:args.devices]
+            stage_sum = {} if opt.debug else None
+            tables, pre_stats, post_stats = pipe.run_pipelined(
+                opt, batch, header, fasta=fasta, bed=bed,
+                n_windows=args.windows, devices=devices,
+                stage_totals=stage_sum)
+            if stage_sum:
+                for k in sorted(stage_sum, key=lambda k: -stage_sum[k]):
+                    print(f"[stage] {k}: {stage_sum[k]:.3f}s (summed over "
+                          "windows)", file=sys.stderr)
+            engine = _MergedResult(pre_stats, post_stats)
+            if sam_out:
+                from gencore_tpu.parallel import windows as win
+                outs = win.merged_records(tables)
+            else:
+                outs = pipe.merged_payload(tables)
+        else:
+            engine = VectorEngine(opt, header, fasta=fasta, bed=bed)
+            outs = engine.run(batch)
 
-    if opt.output.endswith("sam") or opt.output == "-":
+    if sam_out:
         from gencore_tpu.io.sam import SamWriter
         writer = SamWriter(opt.output, header)
     else:
         writer = bamio.BamWriter(opt.output, header)
-    if hasattr(outs, "build_payload"):
+    import numpy as _np
+    if isinstance(outs, _np.ndarray):
+        writer.write_payload(outs)
+    elif hasattr(outs, "build_payload"):
         writer.write_table(outs)
     elif outs and isinstance(outs[0], bytes):
         for body in outs:

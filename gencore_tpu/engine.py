@@ -94,6 +94,17 @@ class _Job:
     minc: int = 0
 
 
+@dataclass
+class _Dispatched:
+    """State handed from run_dispatch to run_collect. `done` short-circuits
+    (empty batch); otherwise `pending` holds in-flight device results."""
+    done: object = None
+    pending: list = None
+    jobs: list = None
+    out_records: list = None
+    assemble_args: tuple = None
+
+
 class VectorEngine:
     def __init__(self, opt: Options, header: bamio.BamHeader, fasta=None, bed=None):
         self.opt = opt
@@ -134,13 +145,25 @@ class VectorEngine:
         a process after its first D2H transfer; a download-free warm pass
         compiles everything while keeping the process fast for the real
         run (see BENCH_NOTES.md)."""
+        return self.run_collect(self.run_dispatch(
+            batch, checkpoint=checkpoint, watermark=watermark,
+            count_pre_reads=count_pre_reads, warm_only=warm_only))
+
+    def run_dispatch(self, batch: bamio.RecordBatch, *, checkpoint=None,
+                     watermark=None, count_pre_reads: bool = True,
+                     warm_only: bool = False):
+        """Host stages + async device dispatch for one batch, WITHOUT any
+        blocking device->host download. Returns a _Dispatched state to be
+        completed by run_collect — the window pipeline overlaps window
+        k+1's dispatch with window k's collection (SURVEY.md §2: decode/
+        cluster -> consensus -> encode/write, double-buffered)."""
         self._warm_only = warm_only
         self._watermark = (-1, -1)
         opt = self.opt
         self.batchref = batch
         n = batch.n
         if n == 0:
-            return self._finalize([])
+            return _Dispatched(done=self._finalize([]))
 
         # UMI prefix auto-detect from first record (gencore.cpp:206-221)
         if opt.umi_prefix == "auto":
@@ -229,7 +252,7 @@ class VectorEngine:
         ckey_r = right[cl_mask]
         nclust = len(cidx)
         if nclust == 0:
-            return self._finalize(out_records)
+            return _Dispatched(done=self._finalize(out_records))
 
         # tick checkpoints (gencore.cpp:319-389): the last one decides
         # watermark-flushed vs EOF-finished threshold (quirk gencore.cpp:409).
@@ -421,22 +444,33 @@ class VectorEngine:
                 lastb = work.seq_packed[oddrows, work.lens[oddrows] // 2]
                 full_bins = bool((~_OK_HI[lastb]).any())
         with _T("vote"):
-            self._vote_jobs(jobs, batch, work, flats, full_bins,
-                            seq_dev, qual_dev, score_dev, ct)
+            pending = self._vote_jobs(jobs, batch, work, flats, full_bins,
+                                      seq_dev, qual_dev, score_dev, ct)
 
-        if warm_only:
+        return _Dispatched(
+            pending=pending, jobs=jobs, out_records=out_records,
+            assemble_args=(nclusters, G, g_cluster, g_sizes, g_start,
+                           g_single, g_cross, group_slices, side_jobs, jobs,
+                           batch, pl, pr, work, pair_has_umi, c_pair_start,
+                           mem_pairs, u_mat, u_start, u_len, out_records))
+
+    def run_collect(self, st: "_Dispatched"):
+        """Blocking half of a dispatched run: download vote results,
+        assemble records, finalize stats/output."""
+        if st.done is not None:
+            return st.done
+        _T = self.timer.stage
+        with _T("vote"):
+            self._vote_collect(st.jobs, st.pending)
+        if getattr(self, "_warm_only", False):
             return None
 
         # ---- per-cluster assembly + duplex + thresholds (columnar) ----
         with _T("assemble"):
-            self._assemble_all(
-                nclusters, G, g_cluster, g_sizes, g_start, g_single, g_cross,
-                group_slices, side_jobs, jobs, batch, pl, pr, work,
-                pair_has_umi, c_pair_start, mem_pairs,
-                u_mat, u_start, u_len, out_records)
+            self._assemble_all(*st.assemble_args)
 
         with _T("finalize"):
-            return self._finalize(out_records)
+            return self._finalize(st.out_records)
 
     # ------------------------------------------------------------------
     def _pair_umis_vec(self, batch, qname_mat, cidx, rl, rr, has_right):
@@ -843,14 +877,31 @@ class VectorEngine:
         uploads once per reference (reused across runs/windows/shards).
         Padded by _GENOME_PAD so clamped end-of-genome dynamic slices never
         shift real data."""
-        key = ("nt16", len(self._genome))
+        # _genome layout depends on the header's contig order; key on a
+        # fingerprint of (base, len) per contig so a FastaRef reused across
+        # headers with different orderings never returns a stale device
+        # genome (same total length is not enough). The pinned device is
+        # part of the key: the window pipeline round-robins engines over
+        # jax.default_device and each chip needs its own resident copy.
+        import jax as _jax
+        dev_pin = _jax.config.jax_default_device
+        key = ("nt16", len(self._genome),
+               self._contig_base.tobytes(), self._contig_len.tobytes(),
+               str(dev_pin))
         cache = getattr(self.fasta, "_gdev_cache", None)
-        if cache is not None and cache[0] == key:
-            return cache[1]
+        if cache is None:
+            cache = {}
+            if self.fasta is not None:
+                self.fasta._gdev_cache = cache
+        elif not isinstance(cache, dict):
+            cache = {}
+            self.fasta._gdev_cache = cache
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
         gn = np.pad(_ASCII_TO_NT16[self._genome], (0, _GENOME_PAD))
         dev = _upload_fn()(gn, np.zeros(1, np.uint8))[0]
-        if self.fasta is not None:
-            self.fasta._gdev_cache = (key, dev)
+        cache[key] = dev
         return dev
 
     def _refbase_device(self, jobs: list, batch, ct, work):
@@ -927,7 +978,7 @@ class VectorEngine:
     def _vote_jobs(self, jobs: list, batch, work, flats, full_bins,
                    seq_dev, qual_dev, score_dev, ct):
         if not jobs:
-            return
+            return []
         import os
         import jax
         o = self.opt
@@ -1046,10 +1097,14 @@ class VectorEngine:
                     ratio_num=rnum, ratio_den=rden, full_bins=full_bins)
                 pending.append((jlist, list(outs), None))
 
-        # collection phase: all bucket dispatches are in flight (async jax
-        # dispatch). Delta outputs from every bucket are concatenated on
-        # device and downloaded in ONE transfer per array (remote transports
-        # charge per-round-trip latency), then XOR-undone vectorized.
+        return pending
+
+    def _vote_collect(self, jobs: list, pending: list):
+        """Collection phase: all bucket dispatches are in flight (async jax
+        dispatch). Delta outputs from every bucket are concatenated on
+        device and downloaded in ONE transfer per array (remote transports
+        charge per-round-trip latency), then XOR-undone vectorized."""
+        _T = self.timer.stage
         packed = [(jlist, outs.dev_out, ov) for jlist, outs, ov in pending
                   if isinstance(outs, _PackedOut)]
         plains = [(jlist, outs, ov) for jlist, outs, ov in pending
@@ -1170,7 +1225,9 @@ class VectorEngine:
             else:  # device refbase: pull the few shifted rows to host
                 sj_pad = np.zeros(S2, dtype=np.int32)
                 sj_pad[:n_s] = sj
-                rb_sj = np.asarray(_gather_one(refbase, sj_pad))
+                # np.asarray on a jax array is a read-only view; copy
+                # before zeroing the pad rows.
+                rb_sj = np.array(_gather_one(refbase, sj_pad))
                 rb_sj[n_s:] = 0
             sout = pallas_vote.pallas_vote(
                 hseq, hqual, hscore, hvalid,

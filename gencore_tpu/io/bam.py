@@ -386,6 +386,11 @@ class BamWriter:
         """Append a core.output.OutputTable's prebuilt payload."""
         self._chunks.append(table.build_payload().tobytes())
 
+    def write_payload(self, payload: np.ndarray):
+        """Append a prebuilt block_size-prefixed record stream
+        (parallel.pipeline.merged_payload)."""
+        self._chunks.append(payload.tobytes())
+
     def close(self):
         from gencore_tpu.io import native
         payload = b"".join(self._chunks)

@@ -62,7 +62,6 @@ class Options:
     # ---- TPU-native engine knobs (no reference counterpart) ----
     # genomic window size used to chunk a contig for batched processing; the
     # reference proves windowability via its watermark flush (gencore.cpp:324-389)
-    window_size: int = 4_000_000
     # halo: same-contig pairs are bounded at 100kb (gencore.cpp:300)
     pair_gap_limit: int = 100_000
     # device batching

@@ -1,0 +1,229 @@
+"""In-process coordinate-window pipeline (SURVEY.md §2 pipeline row).
+
+The reference processes its stream strictly sequentially on one core
+(gencore.cpp:205). The TPU engine's stages have disjoint resources —
+decode/sort/group/elect run on host CPU, overlap scoring + voting on the
+device, assembly/encode back on host — so this module splits a batch into
+coordinate windows and runs a 2-stage pipeline:
+
+  main thread    : window k+1  host prep + async device dispatch
+  collector thread: window k   blocking result download + assembly
+
+While the collector blocks in the device->host transfer (which releases
+the GIL) the main thread keeps the host busy preparing the next window;
+device compute is async-dispatched and therefore overlaps both.
+
+Window ownership rules, global checkpoint/watermark injection and stats
+merging are identical to parallel.windows.run_sharded, which is
+record-equivalence-tested against single-shot runs; windows here are cut
+at equal *clustered-read* quantiles (balanced work) instead of equal
+genome spans.
+
+Multi-device: pass `devices` (e.g. jax.local_devices()) and windows are
+round-robined over them — each window's upload, kernels and download are
+pinned via jax.default_device (thread-local), so N chips process N
+windows concurrently. Stats merge host-side (the psum formulation lives
+in parallel.mesh for mesh-jit'd callers).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+from gencore_tpu.engine import VectorEngine
+from gencore_tpu.io import bam as bamio
+from gencore_tpu.options import Options
+from gencore_tpu.stats import Stats
+from gencore_tpu.parallel.windows import (cluster_left_keys,
+                                          global_checkpoint,
+                                          global_watermark, subset_batch)
+
+
+def plan_windows(batch: bamio.RecordBatch, header_lengths, n_windows: int):
+    """Split records into <= n_windows coordinate windows that never split
+    a position cluster. Returns a list of ascending index arrays covering
+    every owned (kind>0) record; windows are cut at clustered-read count
+    quantiles of the concatenated-genome cluster-left coordinate."""
+    kind, left = cluster_left_keys(batch)
+    own = kind > 0
+    tlen = np.array(header_lengths, dtype=np.int64)
+    base = np.zeros(len(tlen) + 1, dtype=np.int64)
+    np.cumsum(tlen, out=base[1:])
+    coord = base[np.clip(batch.tid.astype(np.int64), 0, len(tlen) - 1)] + left
+    oc = coord[own]
+    if len(oc) == 0:
+        return []
+    sc = np.sort(oc)
+    cuts = []
+    for k in range(1, n_windows):
+        v = sc[min(int(round(k * len(sc) / n_windows)), len(sc) - 1)]
+        if not cuts or v > cuts[-1]:
+            cuts.append(v)
+    cuts_a = np.asarray(cuts, dtype=np.int64)
+    wid = np.searchsorted(cuts_a, coord, side="right")
+    out = []
+    for w in range(len(cuts_a) + 1):
+        idx = np.nonzero(own & (wid == w))[0]
+        if len(idx):
+            out.append(idx)
+    return out
+
+
+def _merge_window_stats(pre: Stats, post: Stats, eng: VectorEngine):
+    """Fold one window engine's stats into the global pair (per-read pre
+    stats were computed once globally; only cluster/molecule counters and
+    the full post stats come from windows) — mirrors windows.run_sharded."""
+    pre.cluster += eng.pre_stats.cluster
+    pre.multi_molecule_cluster += eng.pre_stats.multi_molecule_cluster
+    pre.molecule += eng.pre_stats.molecule
+    pre.molecule_se += eng.pre_stats.molecule_se
+    pre.molecule_pe += eng.pre_stats.molecule_pe
+    pre.supporting_histogram += eng.pre_stats.supporting_histogram
+    pre.uncounted_supporting_reads += eng.pre_stats.uncounted_supporting_reads
+    post.merge_from(eng.post_stats)
+
+
+def merged_payload(tables) -> np.ndarray:
+    """Vectorized cross-window merge: one writer-ready payload (block_size-
+    prefixed record stream) in global bamComp order. Stable lexsort over
+    the 5-field keys preserves (window, within-window) order for ties —
+    the same order windows.merged_records produces, record-equivalent to a
+    single-shot run."""
+    from gencore_tpu.core.output import multi_slice_indices
+    tables = [t for t in tables if len(t)]
+    if not tables:
+        return np.zeros(0, dtype=np.uint8)
+    pays = []
+    starts = []
+    lens = []
+    keys = []
+    off = 0
+    for t in tables:
+        p = t.build_payload()
+        doff = t._doff
+        pays.append(p)
+        starts.append(doff[:-1] + off)
+        lens.append(np.diff(doff))
+        keys.append(t.record_keys())
+        off += len(p)
+    K = np.concatenate(keys)
+    order = np.lexsort((K[:, 4], K[:, 3], K[:, 2], K[:, 1], K[:, 0]))
+    big = np.concatenate(pays)
+    idx = multi_slice_indices(np.concatenate(starts)[order],
+                              np.concatenate(lens)[order])
+    return big[idx]
+
+
+def run_pipelined(opt: Options, batch: bamio.RecordBatch, header,
+                  fasta=None, bed=None, n_windows: int = 0,
+                  devices=None, warm_only: bool = False,
+                  max_inflight: int = 3, stage_totals: dict = None,
+                  engines_out: list = None):
+    """Run the vectorized engine as a window pipeline; returns
+    (tables, pre_stats, post_stats) record-equivalent to a single-shot
+    VectorEngine.run (the merged outputs are ordered by windows.merged_records).
+
+    n_windows=0 picks a size-based default. devices: optional list of jax
+    devices to round-robin windows over (None = default device only)."""
+    assert opt.max_contig == 0, \
+        "window pipelining does not combine with --quit_after_contig"
+    if opt.umi_prefix == "auto":
+        qn0 = batch.qname(0).decode("latin-1") if batch.n else ""
+        if "umi_" in qn0:
+            opt.umi_prefix = "umi"
+        elif "UMI_" in qn0:
+            opt.umi_prefix = "UMI"
+        else:
+            opt.umi_prefix = ""
+
+    pre = Stats(opt.coverage_step, header.names, header.lengths,
+                bed_stats=bed, is_post=False)
+    post = Stats(opt.coverage_step, header.names, header.lengths,
+                 bed_stats=bed.copy_structure() if bed is not None else None,
+                 is_post=True)
+    probe = VectorEngine(opt, header, fasta=None)
+    nm, _ = probe._extract_nm(batch, batch.n)
+    pre.add_reads_vectorized(batch.tid.astype(np.int64),
+                             batch.pos.astype(np.int64),
+                             batch.l_qseq.astype(np.int64), nm)
+
+    if n_windows <= 0:
+        # ~40k clustered reads per window amortizes per-window fixed costs
+        # while leaving enough windows to overlap stages
+        n_windows = max(1, min(16, batch.n // 40_000))
+    ck = global_checkpoint(batch)
+    wm = global_watermark(batch, header.lengths)
+    wins = plan_windows(batch, header.lengths, n_windows)
+    if not wins:
+        return [], pre, post
+
+    import jax
+    devs = list(devices) if devices else [None]
+
+    def mkopt():
+        return Options(**{f.name: getattr(opt, f.name)
+                          for f in opt.__dataclass_fields__.values()})
+
+    done_q: "queue.Queue" = queue.Queue(maxsize=max_inflight)
+    tables = [None] * len(wins)
+    engines = [None] * len(wins)
+    err: list = []
+
+    def collector():
+        while True:
+            item = done_q.get()
+            if item is None:
+                return
+            w, eng, st, dev = item
+            try:
+                if dev is not None:
+                    with jax.default_device(dev):
+                        tables[w] = eng.run_collect(st)
+                else:
+                    tables[w] = eng.run_collect(st)
+                engines[w] = eng
+            except BaseException as e:  # propagate to main
+                err.append(e)
+                return
+
+    th = threading.Thread(target=collector, daemon=True)
+    th.start()
+    try:
+        for w, idx in enumerate(wins):
+            if err:
+                break
+            sub = subset_batch(batch, idx)
+            eng = VectorEngine(mkopt(), header, fasta=fasta,
+                               bed=bed.copy_structure() if bed is not None
+                               else None)
+            dev = devs[w % len(devs)]
+            if dev is not None:
+                with jax.default_device(dev):
+                    st = eng.run_dispatch(sub, checkpoint=ck, watermark=wm,
+                                          count_pre_reads=False,
+                                          warm_only=warm_only)
+            else:
+                st = eng.run_dispatch(sub, checkpoint=ck, watermark=wm,
+                                      count_pre_reads=False,
+                                      warm_only=warm_only)
+            done_q.put((w, eng, st, dev))
+    finally:
+        done_q.put(None)
+        th.join()
+    if err:
+        raise err[0]
+    if warm_only:
+        return None, pre, post
+    if engines_out is not None:
+        engines_out.extend(e for e in engines if e is not None)
+    for eng in engines:
+        if eng is not None:
+            _merge_window_stats(pre, post, eng)
+            if stage_totals is not None:
+                for k, v in eng.timer.totals.items():
+                    stage_totals[k] = stage_totals.get(k, 0.0) + v
+    tables = [t for t in tables if t is not None]
+    return tables, pre, post

@@ -130,3 +130,26 @@ def test_cli_sharded_matches_single(tmp_path):
     assert outs["one"][0] == outs["sh"][0]
     assert outs["one"][1]["before_processing"] == outs["sh"][1]["before_processing"]
     assert outs["one"][1]["after_processing"] == outs["sh"][1]["after_processing"]
+
+
+def test_cli_pipelined_matches_single(tmp_path):
+    """--windows N (overlapped window pipeline) produces a byte-identical
+    output BAM and identical JSON stats vs a single-shot run."""
+    sb, bam_path, fa_path, _ = _make_inputs(tmp_path, with_bed=False)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", GENCORE_PLATFORM="cpu")
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    outs = {}
+    for mode, extra in (("one", ["--windows", "1"]), ("pw", ["--windows", "4"])):
+        ob = str(tmp_path / f"{mode}.bam")
+        cp = subprocess.run(
+            [sys.executable, "-m", "gencore_tpu.cli", "-i", bam_path, "-o", ob,
+             "-r", fa_path, "-j", str(tmp_path / f"{mode}.json"),
+             "--html", str(tmp_path / f"{mode}.html")] + extra,
+            capture_output=True, text=True, env=env, cwd=cwd)
+        assert cp.returncode == 0, cp.stderr
+        outs[mode] = (open(ob, "rb").read(),
+                      json.loads(re.sub(r"(-?nan|-?inf)", "null",
+                                 open(tmp_path / f"{mode}.json").read())))
+    assert outs["one"][0] == outs["pw"][0]
+    assert outs["one"][1]["before_processing"] == outs["pw"][1]["before_processing"]
+    assert outs["one"][1]["after_processing"] == outs["pw"][1]["after_processing"]
