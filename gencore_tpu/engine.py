@@ -211,6 +211,16 @@ class VectorEngine:
             if len(over):
                 limit = int(over[0]) + 1
 
+        # --debug contig progress (gencore.cpp:247-250): one notice per
+        # strictly-increasing tid in stream order
+        if opt.debug and limit and not getattr(self, "_suppress_contig_dbg",
+                                               False):
+            import sys
+            t_dbg = tid[:limit]
+            cm = np.maximum.accumulate(np.append(-1, t_dbg))[:-1]
+            for tv in t_dbg[t_dbg > cm]:
+                print(f"Starting contig {int(tv)}", file=sys.stderr)
+
         nm, nm_patch = self._extract_nm(batch, limit)
         self._nm_vals = nm
         self._nm_patch = nm_patch
@@ -484,55 +494,89 @@ class VectorEngine:
         has_mi = any(batch.get_str_tag(int(i), b"MI") is not None for i in sample)
         self._umi_from_mi = has_mi
         if not has_mi:
+            src_mat = qname_mat
+            src_len = batch.l_read_name[cidx].astype(np.int64) - 1
+        else:
+            # MI tag wins over qname, per read (bamutil.cpp:23-38); the tag
+            # values are batch-extracted via a layout probe and substituted
+            # into the parse matrix for the rows that carry one
+            mi_mat, mi_len, mi_has = self._extract_str_tag(batch, cidx, b"MI")
             qlen = batch.l_read_name[cidx].astype(np.int64) - 1
-            start_all, len_all = umivec.umi_spans(qname_mat, qlen, prefix)
-            keys_all, _ = umivec.umi_keys(qname_mat, start_all, len_all)
-            rr_c = np.clip(rr, 0, None)
-            ll = len_all[rl]
-            lk = keys_all[rl]
-            rk = np.where(has_right, keys_all[rr_c], b"")
-            mism = has_right & (ll > 0) & (lk != rk)
-            if mism.any():
-                pi = int(np.nonzero(mism)[0][0])
-                a = umivec.umi_string(qname_mat, start_all, len_all, int(rl[pi]))
-                b = umivec.umi_string(qname_mat, start_all, len_all, int(rr[pi]))
-                raise ValueError(
-                    "The UMI of a read pair should be identical, "
-                    f"but we got {a} and {b}")
-            use_right = (ll == 0) & has_right
-            src_row = np.where(use_right, rr_c, rl)
-            return (start_all[src_row], len_all[src_row],
-                    np.where(use_right, rk, lk), qname_mat[src_row])
-        # MI fallback: python per pair
-        from gencore_tpu.utils.umi import get_umi_from_qname
-        npair = len(rl)
-        umis = []
-        for k in range(npair):
-            li = int(self.work.cidx[rl[k]])
-            mi = batch.get_str_tag(li, b"MI")
-            src = mi if mi is not None else batch.qname(li).decode("latin-1")
-            u = get_umi_from_qname(src, prefix)
-            if has_right[k]:
-                ri = int(self.work.cidx[rr[k]])
-                mi_r = batch.get_str_tag(ri, b"MI")
-                src_r = mi_r if mi_r is not None else batch.qname(ri).decode("latin-1")
-                ur = get_umi_from_qname(src_r, prefix)
-                if u and ur != u:
-                    raise ValueError(
-                        "The UMI of a read pair should be identical, "
-                        f"but we got {u} and {ur}")
-                if not u:
-                    u = ur
-            umis.append(u)
-        umax = max(max((len(u) for u in umis), default=1), 1)
-        mat = np.zeros((npair, umax), dtype=np.uint8)
-        lens = np.zeros(npair, dtype=np.int64)
-        for k, u in enumerate(umis):
-            b = u.encode("latin-1")
-            mat[k, :len(b)] = np.frombuffer(b, dtype=np.uint8)
-            lens[k] = len(b)
-        keys = np.ascontiguousarray(mat).view(f"S{umax}").ravel()
-        return np.zeros(npair, dtype=np.int64), lens, keys, mat
+            W = max(qname_mat.shape[1], mi_mat.shape[1])
+            src_mat = np.zeros((len(cidx), W), dtype=np.uint8)
+            src_mat[:, :qname_mat.shape[1]] = qname_mat
+            src_len = qlen.copy()
+            src_mat[mi_has, :] = 0
+            src_mat[mi_has, :mi_mat.shape[1]] = mi_mat[mi_has]
+            src_len[mi_has] = mi_len[mi_has]
+        start_all, len_all = umivec.umi_spans(src_mat, src_len, prefix)
+        keys_all, _ = umivec.umi_keys(src_mat, start_all, len_all)
+        rr_c = np.clip(rr, 0, None)
+        ll = len_all[rl]
+        lk = keys_all[rl]
+        rk = np.where(has_right, keys_all[rr_c], b"")
+        mism = has_right & (ll > 0) & (lk != rk)
+        if mism.any():
+            pi = int(np.nonzero(mism)[0][0])
+            a = umivec.umi_string(src_mat, start_all, len_all, int(rl[pi]))
+            b = umivec.umi_string(src_mat, start_all, len_all, int(rr[pi]))
+            raise ValueError(
+                "The UMI of a read pair should be identical, "
+                f"but we got {a} and {b}")
+        use_right = (ll == 0) & has_right
+        src_row = np.where(use_right, rr_c, rl)
+        return (start_all[src_row], len_all[src_row],
+                np.where(use_right, rk, lk), src_mat[src_row])
+
+    def _extract_str_tag(self, batch, idx: np.ndarray, tag: bytes,
+                         scan_w: int = 256):
+        """Vectorized Z-typed aux-tag extraction for records `idx`:
+        (mat uint8[n, <=scan_w], lens int64[n], has bool[n]). Same layout-
+        probe strategy as _extract_nm — a constant tag offset from aux_off
+        is verified per record (tag bytes + 'Z' type); probe misses walk
+        the aux chain per record."""
+        n = len(idx)
+        datalen = len(batch.data)
+        delta = None
+        for k in range(min(n, 8)):
+            off, typ = batch.find_tag(int(idx[k]), tag)
+            if off is not None and typ == "Z":
+                delta = off - int(batch.aux_off[idx[k]])
+                break
+        ends = batch.end[idx]
+        if delta is None:
+            ok = np.zeros(n, dtype=bool)
+            cand = np.zeros(n, dtype=np.int64)
+        else:
+            cand = batch.aux_off[idx].astype(np.int64) + delta
+            ok = cand + 1 <= ends
+            ok &= batch.data[np.clip(cand - 3, 0, datalen - 1)] == tag[0]
+            ok &= batch.data[np.clip(cand - 2, 0, datalen - 1)] == tag[1]
+            ok &= batch.data[np.clip(cand - 1, 0, datalen - 1)] == ord("Z")
+        cols = np.arange(scan_w, dtype=np.int64)
+        g = np.clip(cand[:, None] + cols[None, :], 0, datalen - 1)
+        wmat = batch.data[g]
+        isnul = (wmat == 0) | ((cand[:, None] + cols[None, :])
+                               >= ends[:, None])
+        has_nul = isnul.any(axis=1)
+        ln = np.where(has_nul, isnul.argmax(axis=1), 0).astype(np.int64)
+        ok &= has_nul
+        mat = np.where(cols[None, :] < ln[:, None], wmat, 0)
+        has = ok.copy()
+        ln[~ok] = 0
+        for k in np.nonzero(~ok)[0]:
+            off, typ = batch.find_tag(int(idx[k]), tag)
+            if off is None or typ != "Z":
+                continue
+            e = int(ends[k])
+            seg = batch.data[off:e]
+            z = np.nonzero(seg == 0)[0]
+            ln_k = min(int(z[0]) if len(z) else len(seg), scan_w)
+            mat[k, :ln_k] = seg[:ln_k]
+            mat[k, ln_k:] = 0
+            ln[k] = ln_k
+            has[k] = True
+        return mat, ln, has
 
     # ------------------------------------------------------------------
     def _elect_vectorized(self, is_left, mem_pairs, g_start, g_sizes, g_single,
@@ -636,6 +680,11 @@ class VectorEngine:
                 seq = batch.seq_codes(first_read)
                 diff_neighbor = int((seq[:-1] != seq[1:]).sum())
                 if diff_neighbor < len(seq) * 0.5:
+                    if opt.debug:  # group.cpp:169-171
+                        import sys
+                        print(f"Skipping {npairs} low complexity reads "
+                              f"like: {bamio.codes_to_seq_str(seq)}",
+                              file=sys.stderr)
                     return None
 
         left_read_mode = is_left
@@ -1099,23 +1148,57 @@ class VectorEngine:
 
         return pending
 
+    def _vote_qual_table(self):
+        """Candidate nibble table for vote-output quals, or None.
+
+        Out-qual values are selections of the (scoring-mutated) input
+        quals: {0} ∪ inputs ∪ positive pairwise differences (the mismatch
+        mutation qual := max(0, this−pair), pair.cpp:155-167). When that
+        closure fits 15 codes, qual downloads ship as nibble indices —
+        half the bytes over a no-compression transport. A device-side
+        mismatch count guards the assumption (fallback: raw download)."""
+        import os
+        if os.environ.get("GENCORE_NO_QPACK"):
+            return None
+        work = getattr(self, "work", None)
+        if work is None or work.qual_table is None:
+            return None
+        from gencore_tpu.io import native
+        if native.get_lib() is None:
+            return None
+        v = np.unique(work.qtable16[work.qtable16 > 0])
+        d = (v[:, None].astype(np.int64) - v[None, :].astype(np.int64)).ravel()
+        cand = np.unique(np.concatenate(
+            [[0], v.astype(np.int64), d[d > 0]])).astype(np.uint8)
+        if len(cand) > 15:
+            return None
+        qtable = np.zeros(16, dtype=np.uint8)
+        qtable[1:1 + len(cand)] = cand
+        return qtable
+
     def _vote_collect(self, jobs: list, pending: list):
         """Collection phase: all bucket dispatches are in flight (async jax
         dispatch). Delta outputs from every bucket are concatenated on
         device and downloaded in ONE transfer per array (remote transports
         charge per-round-trip latency), then XOR-undone vectorized."""
+        from gencore_tpu.io import native
         _T = self.timer.stage
         packed = [(jlist, outs.dev_out, ov) for jlist, outs, ov in pending
                   if isinstance(outs, _PackedOut)]
         plains = [(jlist, outs, ov) for jlist, outs, ov in pending
                   if not isinstance(outs, _PackedOut)]
+        qtable = self._vote_qual_table() if packed else None
         if getattr(self, "_warm_only", False):
             import jax as _jx
             if packed:
                 flat = []
                 for _, d, _ in packed:
                     flat.extend(d)
-                _jx.block_until_ready(_concat_outs_fn(len(packed))(*flat))
+                if qtable is not None:
+                    _jx.block_until_ready(
+                        _concat_outs_packed_fn(len(packed))(qtable, *flat))
+                else:
+                    _jx.block_until_ready(_concat_outs_fn(len(packed))(*flat))
             for _, outs, _ in plains:
                 _jx.block_until_ready(outs)
             return
@@ -1124,14 +1207,40 @@ class VectorEngine:
                 flat = []
                 for _, d, _ in packed:
                     flat.extend(d)
-                ps, dq, df, mc = _concat_outs_fn(len(packed))(*flat)
-                ps = np.asarray(ps)
-                # writable copy: duplex merging mutates output rows in
-                # place (postmerge.duplex_merge_bam, cluster.cpp:190-244)
-                dq = np.array(dq)
-                df = np.asarray(df)
-                mc = np.asarray(mc)
-                ds = _unpack_nibbles(ps)
+                dq = None
+                if qtable is not None:
+                    flat_d, dq_d = \
+                        _concat_outs_packed_fn(len(packed))(qtable, *flat)
+                    # ONE device->host transfer for the whole window
+                    fb = np.asarray(flat_d)
+                    J2 = sum(d[0].shape[0] for _, d, _ in packed)
+                    pw = packed[0][1][0].shape[1]
+                    o1 = J2 * pw          # ps
+                    o2 = o1 + J2 * pw     # qp
+                    o3 = o2 + J2 * 4      # df
+                    o4 = o3 + J2 * 4      # mc
+                    ps = fb[:o1].reshape(J2, pw)
+                    qn = fb[o1:o2].reshape(J2, pw)
+                    df = fb[o2:o3].view(np.int32)
+                    mc = fb[o3:o4].view(np.int32)
+                    bad = int(fb[o4:o4 + 4].view(np.int32)[0])
+                    if bad == 0:
+                        # nibble-indexed qual rows (half bytes) + threaded
+                        # native unpack; fresh array => writable (duplex
+                        # merging mutates rows in place,
+                        # postmerge.duplex_merge_bam, cluster.cpp:190-244)
+                        dq = native.unpack_nib_dense(qn, qtable)
+                    else:  # a value escaped the candidate closure
+                        dq = np.array(dq_d)
+                else:
+                    ps_d, dq_d, df_d, mc_d = _concat_outs_fn(len(packed))(*flat)
+                    ps = np.asarray(ps_d)
+                    dq = np.array(dq_d)
+                    df = np.asarray(df_d)
+                    mc = np.asarray(mc_d)
+                ds = native.unpack_nib_dense(ps, _IDENT16)
+                if ds is None:
+                    ds = _unpack_nibbles(ps)
             off = 0
             for jlist, d, ov in packed:
                 j2 = d[0].shape[0]
@@ -1494,6 +1603,23 @@ class VectorEngine:
             new_nm = int(self._nm_vals[tr]) + job.minc
             if self._nm_patch[tr] >= 0 and 0 <= new_nm <= 255:
                 r.nm_new = new_nm
+        elif job.minc > 5 and self.opt.debug:
+            # rollback notice (group.cpp:538-550); the seq/qual restore
+            # itself happened in the vote kernel's epilogue. The reference
+            # additionally dumps ref/css/member rows — we print the notice
+            # core (the restore is already reflected in the output record).
+            import sys
+            nm0 = int(self._nm_vals[tr])
+            print(f"\nNOTICE: mismatch increased with {job.minc}",
+                  file=sys.stderr)
+            print("Consensus by left" if job.is_left_side
+                  else "Consensus by right", file=sys.stderr)
+            print(f"Edit distance (NM) changed from {nm0} to "
+                  f"{nm0 + job.minc}", file=sys.stderr)
+            print(f"Read name: {batch.qname(tr).decode('latin-1')}",
+                  file=sys.stderr)
+            print(f"tid: {int(batch.tid[tr])}, pos: {int(batch.pos[tr])}",
+                  file=sys.stderr)
         return r
 
     # ------------------------------------------------------------------
@@ -1702,6 +1828,49 @@ def _concat_outs_fn(nb: int):
             return arrs[0], arrs[1], arrs[2], arrs[3]
         return tuple(jnp.concatenate([arrs[4 * i + k] for i in range(nb)],
                                      axis=0) for k in range(4))
+
+    return cat
+
+
+_IDENT16 = np.arange(16, dtype=np.uint8)
+
+
+@_functools.cache
+def _concat_outs_packed_fn(nb: int):
+    """_concat_outs_fn variant that also nibble-encodes the qual rows
+    against a 16-value table (enc 0 = 'not in table'; `bad` counts
+    escapes so the host can fall back to the raw rows, which stay
+    device-resident and untransferred unless needed)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def cat(qtable, *arrs):
+        if nb == 1:
+            ps, dq, df, mc = arrs[0], arrs[1], arrs[2], arrs[3]
+        else:
+            ps, dq, df, mc = (jnp.concatenate(
+                [arrs[4 * i + k] for i in range(nb)], axis=0)
+                for k in range(4))
+        enc = jnp.zeros(dq.shape, jnp.uint8)
+        dec = jnp.zeros(dq.shape, jnp.uint8)
+        for i in range(1, 16):
+            hit = dq == qtable[i]
+            enc = jnp.where(hit, jnp.uint8(i), enc)
+            dec = jnp.where(hit, qtable[i], dec)
+        bad = jnp.sum((dec != dq).astype(jnp.int32))
+        qp = (enc[:, 0::2] << 4) | enc[:, 1::2]
+        # single flat download buffer: [ps | qp | df | mc | bad] as bytes —
+        # the remote transport charges ~28ms per round trip, so one
+        # np.asarray instead of five
+        flat = jnp.concatenate([
+            ps.reshape(-1),
+            qp.reshape(-1),
+            jax.lax.bitcast_convert_type(df, jnp.uint8).reshape(-1),
+            jax.lax.bitcast_convert_type(mc, jnp.uint8).reshape(-1),
+            jax.lax.bitcast_convert_type(bad[None], jnp.uint8).reshape(-1),
+        ])
+        return flat, dq
 
     return cat
 

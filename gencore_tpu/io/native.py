@@ -52,6 +52,17 @@ def get_lib():
     lib.gc_bgzf_write.restype = ctypes.c_int
     lib.gc_bgzf_write.argtypes = [ctypes.c_char_p, ctypes.c_void_p,
                                   ctypes.c_int64, ctypes.c_int, ctypes.c_int]
+    lib.gc_bgzf_write_ex.restype = ctypes.c_int
+    lib.gc_bgzf_write_ex.argtypes = [ctypes.c_char_p, ctypes.c_void_p,
+                                     ctypes.c_int64, ctypes.c_int,
+                                     ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.gc_bgzf_block_table.restype = ctypes.c_int64
+    lib.gc_bgzf_block_table.argtypes = [ctypes.c_char_p, ctypes.c_void_p,
+                                        ctypes.c_int64, ctypes.c_void_p]
+    lib.gc_bgzf_read_blocks.restype = ctypes.c_int
+    lib.gc_bgzf_read_blocks.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                        ctypes.c_int64, ctypes.c_void_p,
+                                        ctypes.c_int64, ctypes.c_int]
     lib.gc_bam_scan.restype = ctypes.c_int64
     lib.gc_bam_scan.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                 ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
@@ -84,6 +95,15 @@ def get_lib():
     lib.gc_pack_nib_rows.argtypes = [ctypes.c_void_p] * 3 + [ctypes.c_int64,
                                      ctypes.c_void_p, ctypes.c_void_p,
                                      ctypes.c_int64, ctypes.c_int]
+    lib.gc_unpack_nib_dense.restype = None
+    lib.gc_unpack_nib_dense.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                        ctypes.c_int64, ctypes.c_void_p,
+                                        ctypes.c_void_p, ctypes.c_int]
+    lib.gc_greedy_group.restype = ctypes.c_int64
+    lib.gc_greedy_group.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_void_p, ctypes.c_int64,
+                                    ctypes.c_int64, ctypes.c_int64,
+                                    ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -113,6 +133,49 @@ def bgzf_write(path: str, payload: np.ndarray, level: int = 6,
     r = lib.gc_bgzf_write(path.encode(), payload.ctypes.data,
                           len(payload), level, n_threads)
     return r == 0
+
+
+def bgzf_write_ex(path: str, payload: np.ndarray, level: int = 6,
+                  n_threads: int = 0, append: bool = False,
+                  write_eof: bool = True) -> bool:
+    lib = get_lib()
+    if lib is None:
+        return False
+    payload = np.ascontiguousarray(payload, dtype=np.uint8)
+    r = lib.gc_bgzf_write_ex(path.encode(), payload.ctypes.data, len(payload),
+                             level, n_threads, int(append), int(write_eof))
+    return r == 0
+
+
+def bgzf_block_table(path: str):
+    """(table int64[n,2] of (comp_off, out_off), total_uncompressed) or
+    None. Row i covers uncompressed span [out_off[i], out_off[i+1])."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cap = 4096
+    while True:
+        table = np.empty((cap, 2), dtype=np.int64)
+        total = ctypes.c_int64(0)
+        n = lib.gc_bgzf_block_table(path.encode(), table.ctypes.data, cap,
+                                    ctypes.byref(total))
+        if n == -2:
+            cap *= 4
+            continue
+        if n < 0:
+            return None
+        return table[:n], int(total.value)
+
+
+def bgzf_read_blocks(path: str, block_lo: int, block_hi: int, out_len: int):
+    """Decompress blocks [block_lo, block_hi) into a fresh array."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty(out_len, dtype=np.uint8)
+    r = lib.gc_bgzf_read_blocks(path.encode(), block_lo, block_hi,
+                                out.ctypes.data, out_len, 0)
+    return out if r == 0 else None
 
 
 def bam_scan(payload: np.ndarray, body_start: int):
@@ -232,6 +295,22 @@ def pack_nib_rows(src: np.ndarray, src_off, lens, lut: np.ndarray, pw: int,
     lib.gc_pack_nib_rows(np.ascontiguousarray(src, dtype=np.uint8).ctypes.data,
                          so.ctypes.data, ln.ctypes.data, n,
                          lut.ctypes.data, out.ctypes.data, pw, 0)
+    return out
+
+
+def unpack_nib_dense(packed: np.ndarray, lut: np.ndarray):
+    """[n, pw] packed nibbles -> [n, 2*pw] bytes via a 16-entry LUT
+    (threaded). Returns None without the native lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    packed = np.ascontiguousarray(packed, dtype=np.uint8)
+    lut16 = np.zeros(16, dtype=np.uint8)
+    lut16[:len(lut)] = lut[:16]
+    n, pw = packed.shape
+    out = np.empty((n, 2 * pw), dtype=np.uint8)
+    lib.gc_unpack_nib_dense(packed.ctypes.data, n, pw, lut16.ctypes.data,
+                            out.ctypes.data, 0)
     return out
 
 

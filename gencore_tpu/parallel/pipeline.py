@@ -112,9 +112,15 @@ def merged_payload(tables) -> np.ndarray:
     K = np.concatenate(keys)
     order = np.lexsort((K[:, 4], K[:, 3], K[:, 2], K[:, 1], K[:, 0]))
     big = np.concatenate(pays)
-    idx = multi_slice_indices(np.concatenate(starts)[order],
-                              np.concatenate(lens)[order])
-    return big[idx]
+    so = np.concatenate(starts)[order]
+    sl = np.concatenate(lens)[order]
+    do = np.zeros(len(sl), dtype=np.int64)
+    np.cumsum(sl[:-1], out=do[1:])
+    out = np.empty(int(sl.sum()), dtype=np.uint8)
+    from gencore_tpu.io import native
+    if not native.gather_slices(big, so, sl, out, do):
+        out = big[multi_slice_indices(so, sl)]
+    return out
 
 
 def run_pipelined(opt: Options, batch: bamio.RecordBatch, header,
@@ -154,6 +160,15 @@ def run_pipelined(opt: Options, batch: bamio.RecordBatch, header,
         # ~40k clustered reads per window amortizes per-window fixed costs
         # while leaving enough windows to overlap stages
         n_windows = max(1, min(16, batch.n // 40_000))
+    if opt.debug and batch.n:
+        # contig progress once, globally (window engines suppress theirs:
+        # they would reprint per window, interleaved across threads)
+        import sys
+        t_dbg = batch.tid.astype(np.int64)
+        cm = np.maximum.accumulate(np.append(-1, t_dbg))[:-1]
+        for tv in t_dbg[t_dbg > cm]:
+            print(f"Starting contig {int(tv)}", file=sys.stderr)
+
     ck = global_checkpoint(batch)
     wm = global_watermark(batch, header.lengths)
     wins = plan_windows(batch, header.lengths, n_windows)
@@ -172,6 +187,11 @@ def run_pipelined(opt: Options, batch: bamio.RecordBatch, header,
     engines = [None] * len(wins)
     err: list = []
 
+    import sys
+    import time as _time
+    t_origin = _time.perf_counter()
+    dbg = bool(getattr(opt, "debug", False))
+
     def collector():
         while True:
             item = done_q.get()
@@ -179,12 +199,18 @@ def run_pipelined(opt: Options, batch: bamio.RecordBatch, header,
                 return
             w, eng, st, dev = item
             try:
+                tc0 = _time.perf_counter()
                 if dev is not None:
                     with jax.default_device(dev):
                         tables[w] = eng.run_collect(st)
                 else:
                     tables[w] = eng.run_collect(st)
                 engines[w] = eng
+                if dbg:
+                    tc1 = _time.perf_counter()
+                    print(f"[pipeline] w{w} collect "
+                          f"{tc0 - t_origin:.2f}-{tc1 - t_origin:.2f}s",
+                          file=sys.stderr)
             except BaseException as e:  # propagate to main
                 err.append(e)
                 return
@@ -199,7 +225,9 @@ def run_pipelined(opt: Options, batch: bamio.RecordBatch, header,
             eng = VectorEngine(mkopt(), header, fasta=fasta,
                                bed=bed.copy_structure() if bed is not None
                                else None)
+            eng._suppress_contig_dbg = True
             dev = devs[w % len(devs)]
+            td0 = _time.perf_counter()
             if dev is not None:
                 with jax.default_device(dev):
                     st = eng.run_dispatch(sub, checkpoint=ck, watermark=wm,
@@ -209,6 +237,11 @@ def run_pipelined(opt: Options, batch: bamio.RecordBatch, header,
                 st = eng.run_dispatch(sub, checkpoint=ck, watermark=wm,
                                       count_pre_reads=False,
                                       warm_only=warm_only)
+            if dbg:
+                td1 = _time.perf_counter()
+                print(f"[pipeline] w{w} dispatch "
+                      f"{td0 - t_origin:.2f}-{td1 - t_origin:.2f}s "
+                      f"({len(idx)} reads)", file=sys.stderr)
             done_q.put((w, eng, st, dev))
     finally:
         done_q.put(None)

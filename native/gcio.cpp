@@ -141,6 +141,75 @@ uint8_t* gc_bgzf_read(const char* path, int64_t* out_len, int n_threads) {
   return out;
 }
 
+// BGZF block table: fills blocks[i*2] = file offset of block i,
+// blocks[i*2+1] = uncompressed (output) offset. Returns block count
+// (plus total uncompressed size in *total_out), -1 on malformed data,
+// -2 when cap is too small.
+int64_t gc_bgzf_block_table(const char* path, int64_t* table, int64_t cap,
+                            int64_t* total_out) {
+  std::vector<uint8_t> file;
+  if (!read_file(path, &file)) return -1;
+  std::vector<Block> blocks;
+  size_t total = 0;
+  if (!scan_blocks(file, &blocks, &total)) return -1;
+  if (static_cast<int64_t>(blocks.size()) > cap) return -2;
+  size_t pos = 0;
+  for (size_t i = 0; i < blocks.size(); ++i) {
+    // comp_off points at deflate data; recover the block's file offset
+    // from running position arithmetic instead: re-scan is avoided by
+    // storing out_off; file offset = comp_off - (12 + xlen) is not
+    // directly recoverable, so we store comp_off (sufficient for decode).
+    table[2 * i] = static_cast<int64_t>(blocks[i].comp_off);
+    table[2 * i + 1] = static_cast<int64_t>(blocks[i].out_off);
+    (void)pos;
+  }
+  *total_out = static_cast<int64_t>(total);
+  return static_cast<int64_t>(blocks.size());
+}
+
+// Decompress BGZF blocks [block_lo, block_hi) of `path` into out
+// (caller-sized from the block table). Returns 0 on success.
+int gc_bgzf_read_blocks(const char* path, int64_t block_lo, int64_t block_hi,
+                        uint8_t* out, int64_t out_cap, int n_threads) {
+  std::vector<uint8_t> file;
+  if (!read_file(path, &file)) return -1;
+  std::vector<Block> blocks;
+  size_t total = 0;
+  if (!scan_blocks(file, &blocks, &total)) return -1;
+  if (block_lo < 0 || block_hi > static_cast<int64_t>(blocks.size()) ||
+      block_lo > block_hi)
+    return -2;
+  size_t base = blocks.empty() || block_lo == block_hi
+                    ? 0 : blocks[block_lo].out_off;
+  int nt = hw_threads(n_threads);
+  std::atomic<int64_t> next(block_lo);
+  std::atomic<bool> failed(false);
+  auto worker = [&]() {
+    libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= block_hi || failed.load(std::memory_order_relaxed)) break;
+      const Block& b = blocks[i];
+      if (b.out_len == 0) continue;
+      if (static_cast<int64_t>(b.out_off - base + b.out_len) > out_cap) {
+        failed.store(true);
+        break;
+      }
+      size_t actual = 0;
+      auto r = libdeflate_deflate_decompress(
+          d, file.data() + b.comp_off, b.comp_len, out + (b.out_off - base),
+          b.out_len, &actual);
+      if (r != LIBDEFLATE_SUCCESS || actual != b.out_len) failed.store(true);
+    }
+    libdeflate_free_decompressor(d);
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < nt; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& t : threads) t.join();
+  return failed.load() ? -3 : 0;
+}
+
 // Scan a decompressed BAM payload for record boundaries starting at
 // body_start. Fills offsets[0..n] (byte offsets of record bodies, relative
 // to payload start; offsets[n] = payload end). Returns record count, or -1
@@ -166,10 +235,13 @@ int64_t gc_bam_scan(const uint8_t* payload, int64_t len, int64_t body_start,
 
 // ------------------------- compression -------------------------
 
-// Compress payload to BGZF at `path` (with EOF marker). Returns 0 on
-// success. Blocks of 65280 input bytes, compressed in parallel.
-int gc_bgzf_write(const char* path, const uint8_t* payload, int64_t len,
-                  int level, int n_threads) {
+// Compress payload to BGZF at `path`. Returns 0 on success. Blocks of
+// 65280 input bytes, compressed in parallel. append: open in append mode
+// (streaming writers emit windows incrementally — BGZF blocks are
+// independently concatenable); write_eof: finish with the 28-byte EOF
+// marker.
+int gc_bgzf_write_ex(const char* path, const uint8_t* payload, int64_t len,
+                     int level, int n_threads, int append, int write_eof) {
   const size_t kChunk = 65280;
   size_t n_blocks = (len + kChunk - 1) / kChunk;
   if (len == 0) n_blocks = 0;
@@ -212,14 +284,21 @@ int gc_bgzf_write(const char* path, const uint8_t* payload, int64_t len,
   for (auto& t : threads) t.join();
   if (failed.load()) return -1;
 
-  FILE* f = fopen(path, "wb");
+  FILE* f = fopen(path, append ? "ab" : "wb");
   if (!f) return -2;
   bool ok = true;
   for (auto& blk : comp)
     if (fwrite(blk.data(), 1, blk.size(), f) != blk.size()) ok = false;
-  if (fwrite(kBgzfEof, 1, sizeof(kBgzfEof), f) != sizeof(kBgzfEof)) ok = false;
+  if (write_eof &&
+      fwrite(kBgzfEof, 1, sizeof(kBgzfEof), f) != sizeof(kBgzfEof))
+    ok = false;
   fclose(f);
   return ok ? 0 : -3;
+}
+
+int gc_bgzf_write(const char* path, const uint8_t* payload, int64_t len,
+                  int level, int n_threads) {
+  return gc_bgzf_write_ex(path, payload, len, level, n_threads, 0, 1);
 }
 
 // ------------------------- record assembly -------------------------
@@ -392,6 +471,78 @@ void gc_pack_nib_rows(const uint8_t* src, const int64_t* src_off,
   for (int t = 1; t < nt; ++t) threads.emplace_back(worker);
   worker();
   for (auto& t : threads) t.join();
+}
+
+// Unpack dense packed-nibble rows [n, pw] -> [n, 2*pw] bytes through a
+// 16-entry LUT (identity LUT for BAM seq codes; qual value table for
+// nibble-indexed quals). Threaded.
+void gc_unpack_nib_dense(const uint8_t* src, int64_t n, int64_t pw,
+                         const uint8_t* lut, uint8_t* out, int n_threads) {
+  int nt = hw_threads(n_threads);
+  std::atomic<int64_t> next(0);
+  const int64_t kChunk = 1024;
+  // expand to a 256 -> 2-byte table so each packed byte is one lookup
+  uint16_t big[256];
+  for (int b = 0; b < 256; ++b) {
+    uint16_t pair;
+    uint8_t v[2] = {lut[b >> 4], lut[b & 0xF]};
+    memcpy(&pair, v, 2);
+    big[b] = pair;
+  }
+  auto worker = [&]() {
+    for (;;) {
+      int64_t lo = next.fetch_add(kChunk);
+      if (lo >= n) break;
+      int64_t hi = std::min(lo + kChunk, n);
+      for (int64_t i = lo; i < hi; ++i) {
+        const uint8_t* p = src + i * pw;
+        uint16_t* row = reinterpret_cast<uint16_t*>(out + i * 2 * pw);
+        for (int64_t j = 0; j < pw; ++j) row[j] = big[p[j]];
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < nt; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& t : threads) t.join();
+}
+
+// Greedy UMI grouping over unique lex-sorted UMIs (reference
+// cluster.cpp:55-100): repeatedly take the most-frequent alive UMI
+// (lowest index wins ties = lex-smallest, matching std::map order) and
+// sweep every alive UMI with hamming(common prefix) + |len diff| <= thr
+// (cluster.cpp:41-53 umiDiff). mat: [U, W] zero-padded bytes.
+// Writes group ids (creation order) to group_of[U]; returns group count.
+int64_t gc_greedy_group(const uint8_t* mat, const int64_t* lens,
+                        const int64_t* counts, int64_t U, int64_t W,
+                        int64_t thr, int64_t* group_of) {
+  std::vector<int64_t> cnt(counts, counts + U);
+  std::vector<uint8_t> alive(U, 1);
+  int64_t ng = 0;
+  int64_t n_alive = U;
+  while (n_alive > 0) {
+    int64_t top = 0, bc = 0;
+    for (int64_t i = 0; i < U; ++i)
+      if (cnt[i] > bc) { bc = cnt[i]; top = i; }
+    const uint8_t* t = mat + top * W;
+    const int64_t tl = lens[top];
+    for (int64_t i = 0; i < U; ++i) {
+      if (!alive[i]) continue;
+      const int64_t li = lens[i];
+      const int64_t ml = li < tl ? li : tl;
+      int64_t d = li > tl ? li - tl : tl - li;
+      const uint8_t* r = mat + i * W;
+      for (int64_t j = 0; j < ml && d <= thr; ++j) d += (r[j] != t[j]);
+      if (d <= thr) {
+        group_of[i] = ng;
+        alive[i] = 0;
+        cnt[i] = 0;
+        --n_alive;
+      }
+    }
+    ++ng;
+  }
+  return ng;
 }
 
 void gc_free(void* p) { free(p); }

@@ -215,6 +215,35 @@ def test_equivalence_mi_tag_umis(tmp_path):
     assert_equivalent(o, v)
 
 
+def test_equivalence_mi_tag_mixed_layouts(tmp_path):
+    """MI extraction robustness: records whose aux layout shifts the MI
+    offset (layout-probe miss -> per-record fallback), records without MI
+    (qname fallback per read, bamutil.cpp:26-30), and varying MI lengths."""
+    sb = SyntheticBam(seed=75, contig_len=100_000)
+    rng = np.random.default_rng(76)
+    mis = ["AAAA_CCCC", "CCCC_AAAA", "GGGG_TT", "TTTT_GGGG"]
+    for k in range(25):
+        pos = 1000 + 300 * k
+        mi = str(rng.choice(mis))
+        style = k % 3
+        if style == 0:
+            sb.add_pair_mi(0, pos, pos + 150, mi=mi)
+        elif style == 1:
+            # extra tag before MI shifts the aux layout
+            qname = sb._qname(None)
+            aux = b"XSC\x07" + b"MIZ" + mi.encode() + b"\x00"
+            seq1, cg1 = sb.read_seq(0, pos, 100)
+            seq2, cg2 = sb.read_seq(0, pos + 150, 100)
+            sb._add(0, pos, qname, 99, cg1, 0, pos + 150, 250, seq1, 35, 0,
+                    extra_aux=aux)
+            sb._add(0, pos + 150, qname, 147, cg2, 0, pos, -250, seq2, 35, 0,
+                    extra_aux=aux)
+        else:
+            sb.add_pair(0, pos, pos + 150, umi=mi)
+    o, v = run_both(sb, tmp_path, {"umi_prefix": ""})
+    assert_equivalent(o, v)
+
+
 def test_equivalence_far_apart_mates(tmp_path):
     """Same-contig mates >=100kb apart take the cross-contig key path
     (gencore.cpp:300-311)."""

@@ -56,3 +56,20 @@ def test_native_reader_matches_python(tmp_path):
     assert (b1.tid == b2.tid).all()
     assert (b1.pos == b2.pos).all()
     assert (b1.l_qseq == b2.l_qseq).all()
+
+
+def test_tsan_native_core():
+    """The threaded native core must be data-race-free: build the TSan
+    exerciser and run it (SURVEY.md §5 race-detection row). Skips when
+    g++/libtsan is unavailable."""
+    import subprocess
+    native_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "native")
+    b = subprocess.run(["make", "-C", native_dir, "tsan"],
+                       capture_output=True, text=True, timeout=180)
+    if b.returncode != 0:
+        pytest.skip(f"tsan build unavailable: {b.stderr[-200:]}")
+    r = subprocess.run([os.path.join(native_dir, "test_gcio_tsan"), "/tmp"],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "WARNING: ThreadSanitizer" not in r.stderr
