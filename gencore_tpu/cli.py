@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "device voting of window k")
     p.add_argument("--devices", type=int, default=1,
                    help="round-robin pipeline windows over N local chips")
+    p.add_argument("--stream", action="store_true",
+                   help="bounded-memory mode: decode/process/write per "
+                        "coordinate window (peak RSS ~ one window, not the "
+                        "file); BAM-file input+output only")
     p.add_argument("--shards", type=int, default=1,
                    help="process in N coordinate shards (bounds peak memory; "
                         "same outputs as a single pass)")
@@ -153,7 +157,41 @@ def main(argv=None) -> int:
         for name, contig in fasta.contigs.items():
             print(f"{name}: {len(contig)} bp", file=sys.stderr)
 
-    reader = bamio.BamReader(opt.input)
+    if args.stream:
+        if (opt.input in ("-",) or opt.output in ("-",)
+                or opt.output.endswith("sam") or args.oracle
+                or args.shards > 1):
+            print("ERROR: --stream requires BAM file input and output "
+                  "(no stdin/stdout/SAM/--oracle/--shards)", file=sys.stderr)
+            return -1
+        from gencore_tpu.io.bed import BedRegions
+        from gencore_tpu.parallel.streaming import StreamingBam, run_streaming
+        sb0 = StreamingBam(opt.input)
+        buf0, _ = sb0._read_span(0, min(1 << 20, sb0.total))
+        sb0._parse_header(buf0)
+        bed = None
+        if opt.bed_file:
+            bed = BedRegions.load(opt.bed_file, sb0.header.names)
+            opt.has_bed_file = True
+        from gencore_tpu.utils.tracing import maybe_jax_trace
+        with maybe_jax_trace():
+            header, pre_stats, post_stats = run_streaming(
+                opt, opt.input, opt.output, fasta=fasta, bed=bed,
+                n_windows=args.windows)
+        print("----Before gencore processing:", file=sys.stderr)
+        pre_stats.print_summary(sys.stderr)
+        print("\n----After gencore processing:", file=sys.stderr)
+        post_stats.print_summary(sys.stderr)
+        write_json_report(opt.json_file, opt, pre_stats, post_stats, command)
+        write_html_report(opt.html_file, opt, pre_stats, post_stats, command)
+        t2 = time.time()
+        print(f"\n{command}", file=sys.stderr)
+        print(f"gencore-tpu v{__version__}, time used: {t2 - t1:.1f} seconds",
+              file=sys.stderr)
+        return 0
+
+    from gencore_tpu.io.sam import open_alignment
+    reader = open_alignment(opt.input)
     header = reader.header
 
     bed = None
@@ -167,6 +205,9 @@ def main(argv=None) -> int:
             self.post_stats = post
 
     sam_out = opt.output.endswith("sam") or opt.output == "-"
+    from gencore_tpu.utils.tracing import maybe_jax_trace
+    _trace_ctx = maybe_jax_trace()
+    _trace_ctx.__enter__()
     if args.shards > 1 and not args.oracle:
         from gencore_tpu.parallel import windows as win
 
@@ -210,6 +251,7 @@ def main(argv=None) -> int:
         else:
             engine = VectorEngine(opt, header, fasta=fasta, bed=bed)
             outs = engine.run(batch)
+    _trace_ctx.__exit__(None, None, None)
 
     if sam_out:
         from gencore_tpu.io.sam import SamWriter

@@ -1,0 +1,370 @@
+"""Bounded-memory streaming over coordinate windows.
+
+The reference streams one record at a time at O(window) memory
+(gencore.cpp:205). The batch engine holds the whole decompressed payload;
+this module bounds residency for ultra-deep real-world BAMs (README.md:22)
+with a two-pass design over the BGZF block table:
+
+  pass 1 (index): decode the file chunk-by-chunk (native threaded
+    inflate of block ranges), scan record boundaries, keep only the
+    ~44 bytes/record of columns the window planner and pre-stats need
+    (tid/pos/mtid/mpos/isize/flag + uncompressed offsets), then drop the
+    chunk payload;
+  pass 2 (process): for each coordinate window, decode just the block
+    range covering its records, run the engine (dispatch/collect pipeline
+    as in parallel.pipeline), and append the window's output through the
+    incremental BGZF writer, holding back only the records that may
+    interleave with the next window (cluster outputs can trail past the
+    window edge by up to the pair-gap bound, gencore.cpp:300).
+
+Peak residency = one window's payload + work arrays + the per-record
+index — not the file. Output is byte-identical to the in-memory pipeline
+(tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+from gencore_tpu.engine import VectorEngine
+from gencore_tpu.io import bam as bamio
+from gencore_tpu.io import native
+from gencore_tpu.options import Options
+from gencore_tpu.stats import Stats
+from gencore_tpu.parallel.pipeline import plan_windows, _merge_window_stats
+from gencore_tpu.parallel.windows import (global_checkpoint,
+                                          global_watermark)
+
+
+class _IndexColumns:
+    """Duck-typed RecordBatch surface for the window planner (only the
+    fixed fields cluster_left_keys/global_checkpoint touch)."""
+
+    def __init__(self, tid, pos, mtid, mpos, isize, flag, l_qseq,
+                 ustart, uend):
+        self.tid = tid
+        self.pos = pos
+        self.mtid = mtid
+        self.mpos = mpos
+        self.isize = isize
+        self.flag = flag
+        self.l_qseq = l_qseq
+        self.ustart = ustart    # abs uncompressed offset of block_size prefix
+        self.uend = uend        # abs uncompressed end of record body
+        self.n = len(tid)
+
+    def qname(self, i):  # UMI-prefix auto-detect probe only
+        return b""
+
+
+class StreamingBam:
+    """Index + ranged-decode access to a BGZF BAM file."""
+
+    def __init__(self, path: str, chunk_bytes: int = 64 << 20):
+        if native.get_lib() is None:
+            raise RuntimeError("streaming mode requires the native core")
+        bt = native.bgzf_block_table(path)
+        if bt is None:
+            raise ValueError(f"not a BGZF file: {path}")
+        self.path = path
+        self.block_table, self.total = bt
+        self.out_offs = np.append(self.block_table[:, 1], self.total)
+        self.chunk_bytes = chunk_bytes
+        self.header = None
+        self._body_start = None
+
+    def _read_span(self, lo: int, hi: int):
+        """Decompressed bytes [lo, hi) (block-aligned decode). Returns
+        (buf, base) with buf covering [base, base+len)."""
+        bl = int(np.searchsorted(self.out_offs, lo, side="right")) - 1
+        bh = int(np.searchsorted(self.out_offs, max(hi, lo + 1) - 1,
+                                 side="right"))
+        bl = max(bl, 0)
+        base = int(self.out_offs[bl])
+        out_len = int(self.out_offs[bh]) - base
+        buf = native.bgzf_read_blocks(self.path, bl, bh, out_len)
+        if buf is None:
+            raise IOError("BGZF ranged decode failed")
+        return buf, base
+
+    def _parse_header(self, buf):
+        import struct
+        if buf[:4].tobytes() != bamio.BAM_MAGIC:
+            raise ValueError("not a BAM file")
+        l_text = int(buf[4:8].view(np.int32)[0])
+        p = 8 + l_text
+        text = buf[8:p].tobytes()
+        n_ref = int(buf[p:p + 4].view(np.int32)[0])
+        p += 4
+        names, lengths = [], []
+        for _ in range(n_ref):
+            l_name = int(buf[p:p + 4].view(np.int32)[0])
+            p += 4
+            names.append(buf[p:p + l_name - 1].tobytes().decode())
+            p += l_name
+            lengths.append(int(buf[p:p + 4].view(np.int32)[0]))
+            p += 4
+        self.header = bamio.BamHeader(text, names, lengths)
+        self._body_start = p
+
+    def build_index(self, per_chunk=None) -> _IndexColumns:
+        """Pass 1: chunked decode + record scan; keeps index columns only.
+        per_chunk(batch) is called on each chunk's RecordBatch (pre-stats)."""
+        cols = {k: [] for k in ("tid", "pos", "mtid", "mpos", "isize",
+                                "flag", "l_qseq", "ustart", "uend")}
+        pos = 0
+        carry = np.zeros(0, dtype=np.uint8)
+        carry_base = 0
+        first = True
+        while pos < self.total:
+            hi = min(pos + self.chunk_bytes, self.total)
+            buf, base = self._read_span(pos, hi)
+            # the decode is block-aligned and can extend past hi; trim to
+            # [pos, hi) so the carry never duplicates bytes
+            end_in_buf = min(hi, self.total) - base
+            if first:
+                self._parse_header(buf)
+                start_in_buf = self._body_start
+                first = False
+            else:
+                start_in_buf = pos - base
+            if len(carry):
+                buf = np.concatenate([carry, buf[start_in_buf:end_in_buf]])
+                buf_base = carry_base
+            else:
+                buf = buf[start_in_buf:end_in_buf]
+                buf_base = base + start_in_buf
+            # scan complete records in buf
+            n = len(buf)
+            p = 0
+            offs = []
+            ends = []
+            while p + 4 <= n:
+                bs = int(buf[p]) | (int(buf[p + 1]) << 8) | \
+                    (int(buf[p + 2]) << 16) | (int(buf[p + 3]) << 24)
+                if p + 4 + bs > n:
+                    break
+                offs.append(p + 4)
+                ends.append(p + 4 + bs)
+                p += 4 + bs
+            if offs:
+                off_a = np.asarray(offs, dtype=np.int64)
+                end_a = np.asarray(ends, dtype=np.int64)
+                batch = bamio.RecordBatch(buf, off_a, end_a)
+                for k in ("tid", "pos", "mtid", "mpos", "isize", "flag",
+                          "l_qseq"):
+                    cols[k].append(np.array(getattr(batch, k)))
+                cols["ustart"].append(off_a - 4 + buf_base)
+                cols["uend"].append(end_a + buf_base)
+                if per_chunk is not None:
+                    per_chunk(batch)
+            carry = buf[p:].copy()
+            carry_base = buf_base + p
+            pos = hi
+        if len(carry) not in (0,):
+            raise ValueError("truncated BAM payload")
+        cat = {k: (np.concatenate(v) if v else np.zeros(0, dtype=np.int64))
+               for k, v in cols.items()}
+        return _IndexColumns(**cat)
+
+    def window_batch(self, index: _IndexColumns, idx: np.ndarray):
+        """Pass 2: decode the block span covering records `idx` and build
+        a RecordBatch of exactly those records."""
+        lo = int(index.ustart[idx].min())
+        hi = int(index.uend[idx].max())
+        buf, base = self._read_span(lo, hi)
+        return bamio.RecordBatch(buf, index.ustart[idx] - base + 4,
+                                 index.uend[idx] - base)
+
+
+class StreamingBamWriter:
+    """Incremental BGZF writer: header first, window payloads appended as
+    independent BGZF blocks, EOF marker on close."""
+
+    def __init__(self, path: str, header: bamio.BamHeader, level: int = 6):
+        self.path = path
+        self.level = level
+        hdr = np.frombuffer(header.encode(), dtype=np.uint8)
+        if not native.bgzf_write_ex(path, hdr, level, append=False,
+                                    write_eof=False):
+            raise IOError("native BGZF writer unavailable")
+
+    def write_payload(self, payload: np.ndarray):
+        if len(payload) == 0:
+            return
+        if not native.bgzf_write_ex(self.path, payload, self.level,
+                                    append=True, write_eof=False):
+            raise IOError("BGZF append failed")
+
+    def close(self):
+        native.bgzf_write_ex(self.path, np.zeros(0, dtype=np.uint8),
+                             self.level, append=True, write_eof=True)
+
+
+def _flush_ready(pending: list, boundary, writer):
+    """Emit every pending record with bamComp key strictly below
+    `boundary` (a (tid, pos) pair; None = flush all), preserving the
+    stable (window, within-window) merge order."""
+    parts = []
+    keep = []
+    for K, starts, lens, payload in pending:
+        if boundary is None:
+            m = np.ones(len(K), dtype=bool)
+        else:
+            tb, pb = boundary
+            m = (K[:, 0] < tb) | ((K[:, 0] == tb) & (K[:, 1] < pb))
+        if m.any():
+            parts.append((K[m], starts[m], lens[m], payload))
+        if not m.all():
+            keep.append((K[~m], starts[~m], lens[~m], payload))
+    pending[:] = keep
+    if not parts:
+        return
+    K = np.concatenate([p[0] for p in parts])
+    order = np.lexsort((K[:, 4], K[:, 3], K[:, 2], K[:, 1], K[:, 0]))
+    big_off = 0
+    so_l, pay_l = [], []
+    for _, starts, lens, payload in parts:
+        so_l.append(starts + big_off)
+        pay_l.append(payload)
+        big_off += len(payload)
+    big = np.concatenate(pay_l)
+    so = np.concatenate(so_l)[order]
+    sl = np.concatenate([p[2] for p in parts])[order]
+    do = np.zeros(len(sl), dtype=np.int64)
+    np.cumsum(sl[:-1], out=do[1:])
+    out = np.empty(int(sl.sum()), dtype=np.uint8)
+    if not native.gather_slices(big, so, sl, out, do):
+        from gencore_tpu.core.output import multi_slice_indices
+        out = big[multi_slice_indices(so, sl)]
+    writer.write_payload(out)
+
+
+def run_streaming(opt: Options, path: str, out_path: str,
+                  fasta=None, bed=None, n_windows: int = 0,
+                  chunk_bytes: int = 64 << 20):
+    """Bounded-memory end-to-end run: returns (header, pre, post) after
+    writing the output BAM incrementally. Output bytes are identical to
+    the in-memory pipeline path."""
+    assert opt.max_contig == 0, \
+        "streaming does not combine with --quit_after_contig"
+    sbam = StreamingBam(path, chunk_bytes=chunk_bytes)
+
+    pre = None
+    post = None
+    probe = None
+    chunks_stats = []
+
+    def per_chunk(batch):
+        nm, _ = probe._extract_nm(batch, batch.n)
+        chunks_stats.append((batch.tid.astype(np.int64),
+                             batch.pos.astype(np.int64),
+                             batch.l_qseq.astype(np.int64), nm))
+
+    # need the header before building Stats: peek via first span
+    buf0, _ = sbam._read_span(0, min(1 << 20, sbam.total))
+    sbam._parse_header(buf0)
+    header = sbam.header
+    probe = VectorEngine(opt, header, fasta=None)
+    index = sbam.build_index(per_chunk=per_chunk)
+
+    pre = Stats(opt.coverage_step, header.names, header.lengths,
+                bed_stats=bed, is_post=False)
+    post = Stats(opt.coverage_step, header.names, header.lengths,
+                 bed_stats=bed.copy_structure() if bed is not None else None,
+                 is_post=True)
+    for t, p, l, nm in chunks_stats:
+        pre.add_reads_vectorized(t, p, l, nm)
+
+    if opt.umi_prefix == "auto":
+        # auto-detect from the first record (gencore.cpp:206-221)
+        if index.n:
+            b0 = sbam.window_batch(index, np.array([0]))
+            qn0 = b0.qname(0).decode("latin-1")
+        else:
+            qn0 = ""
+        if "umi_" in qn0:
+            opt.umi_prefix = "umi"
+        elif "UMI_" in qn0:
+            opt.umi_prefix = "UMI"
+        else:
+            opt.umi_prefix = ""
+
+    if n_windows <= 0:
+        n_windows = max(2, min(64, index.n // 40_000))
+    ck = global_checkpoint(index)
+    wm = global_watermark(index, header.lengths)
+    wins = plan_windows(index, header.lengths, n_windows)
+
+    # window start coordinates (tid, pos) for the ordered-emission holdback
+    tlen = np.array(header.lengths, dtype=np.int64)
+    cbase = np.zeros(len(tlen) + 1, dtype=np.int64)
+    np.cumsum(tlen, out=cbase[1:])
+
+    def win_start_key(idx):
+        t = index.tid[idx].astype(np.int64)
+        p = index.pos[idx].astype(np.int64)
+        j = int(np.lexsort((p, t))[0])
+        return (int(t[j]), int(p[j]))
+
+    writer = StreamingBamWriter(out_path, header)
+    pending: list = []
+
+    def mkopt():
+        return Options(**{f.name: getattr(opt, f.name)
+                          for f in opt.__dataclass_fields__.values()})
+
+    done_q: "queue.Queue" = queue.Queue(maxsize=2)
+    err: list = []
+    stats_engines: list = []
+
+    def collector():
+        w = 0
+        while True:
+            item = done_q.get()
+            if item is None:
+                return
+            w, eng, st = item
+            try:
+                table = eng.run_collect(st)
+                stats_engines.append(eng)
+                if len(table):
+                    table.build_payload()
+                    pending.append((table.record_keys(),
+                                    table._doff[:-1] + 0,
+                                    np.diff(table._doff),
+                                    table.build_payload()))
+                boundary = (win_start_key(wins[w + 1])
+                            if w + 1 < len(wins) else None)
+                _flush_ready(pending, boundary, writer)
+            except BaseException as e:
+                err.append(e)
+                return
+
+    th = threading.Thread(target=collector, daemon=True)
+    th.start()
+    try:
+        for w, idx in enumerate(wins):
+            if err:
+                break
+            batch = sbam.window_batch(index, idx)
+            eng = VectorEngine(mkopt(), header, fasta=fasta,
+                               bed=bed.copy_structure() if bed is not None
+                               else None)
+            eng._suppress_contig_dbg = True
+            st = eng.run_dispatch(batch, checkpoint=ck, watermark=wm,
+                                  count_pre_reads=False)
+            done_q.put((w, eng, st))
+    finally:
+        done_q.put(None)
+        th.join()
+    if err:
+        raise err[0]
+    _flush_ready(pending, None, writer)
+    writer.close()
+    for eng in stats_engines:
+        _merge_window_stats(pre, post, eng)
+    return header, pre, post

@@ -1,0 +1,86 @@
+"""Bounded-memory streaming path: output bytes must be identical to the
+in-memory pipeline, with peak residency bounded by the window size."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gencore_tpu.io import bam as bamio
+from gencore_tpu.io import native
+from gencore_tpu.options import Options
+from tests.test_engine_equivalence import make_random_workload
+
+pytestmark = pytest.mark.skipif(native.get_lib() is None,
+                                reason="native core unavailable")
+
+
+def test_block_table_and_ranged_decode(tmp_path):
+    sb = make_random_workload(90, n_fragments=150, umi_mode="plain",
+                              contig_len=300_000, n_contigs=2)
+    bam_path = str(tmp_path / "in.bam")
+    sb.write_bam(bam_path)
+    table, total = native.bgzf_block_table(bam_path)
+    full = native.bgzf_read(bam_path)
+    assert total == len(full)
+    # decode in two halves and compare
+    mid = len(table) // 2
+    a = native.bgzf_read_blocks(bam_path, 0, mid,
+                                int(table[mid, 1]) if mid < len(table)
+                                else total)
+    b = native.bgzf_read_blocks(bam_path, mid, len(table),
+                                total - int(table[mid, 1]))
+    assert (np.concatenate([a, b]) == full).all()
+
+
+def test_incremental_bgzf_writer(tmp_path):
+    rng = np.random.default_rng(0)
+    parts = [rng.integers(0, 255, rng.integers(10, 200_000),
+                          dtype=np.uint8) for _ in range(5)]
+    p1 = str(tmp_path / "inc.bgzf")
+    assert native.bgzf_write_ex(p1, parts[0], append=False, write_eof=False)
+    for p in parts[1:]:
+        assert native.bgzf_write_ex(p1, p, append=True, write_eof=False)
+    assert native.bgzf_write_ex(p1, np.zeros(0, dtype=np.uint8),
+                                append=True, write_eof=True)
+    got = native.bgzf_read(p1)
+    assert (got == np.concatenate(parts)).all()
+
+
+@pytest.mark.parametrize("chunk_bytes", [1 << 14, 64 << 20])
+def test_streaming_matches_pipeline(tmp_path, chunk_bytes):
+    from gencore_tpu.io.fasta import FastaRef
+    from gencore_tpu.parallel import pipeline as pipe
+    from gencore_tpu.parallel.streaming import run_streaming
+
+    sb = make_random_workload(91, n_fragments=250, umi_mode="duplex",
+                              contig_len=500_000, n_contigs=2)
+    bam_path = str(tmp_path / "in.bam")
+    fa = str(tmp_path / "ref.fa")
+    sb.write_bam(bam_path)
+    sb.write_fasta(fa)
+    ref = FastaRef.load(fa)
+
+    # in-memory pipeline output
+    rdr = bamio.BamReader(bam_path)
+    tables, pre_m, post_m = pipe.run_pipelined(
+        Options(), rdr.read_all(), rdr.header, fasta=ref, n_windows=4)
+    mem_out = str(tmp_path / "mem.bam")
+    w = bamio.BamWriter(mem_out, rdr.header)
+    w.write_payload(pipe.merged_payload(tables))
+    w.close()
+
+    stream_out = str(tmp_path / "stream.bam")
+    _, pre_s, post_s = run_streaming(Options(), bam_path, stream_out,
+                                     fasta=ref, n_windows=4,
+                                     chunk_bytes=chunk_bytes)
+
+    a = bamio.BamReader(mem_out).read_all()
+    b = bamio.BamReader(stream_out).read_all()
+    assert a.n == b.n
+    for i in range(a.n):
+        assert a.record_bytes(i) == b.record_bytes(i), i
+    from tests.test_engine_equivalence import STAT_FIELDS
+    for f in STAT_FIELDS:
+        assert getattr(pre_m, f) == getattr(pre_s, f), ("pre", f)
+        assert getattr(post_m, f) == getattr(post_s, f), ("post", f)
