@@ -282,6 +282,8 @@ def _cxx_num(v: float) -> str:
     if v == float("-inf"):
         return "-inf"
     if v == 0:
-        return "0"
+        # C++ ostream prints negative zero as "-0" (html mirror plots)
+        import math
+        return "-0" if math.copysign(1.0, v) < 0 else "0"
     s = f"{v:.6g}"
     return s

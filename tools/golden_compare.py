@@ -53,6 +53,24 @@ def record_keys(batch):
         [int(x) for x in batch.mpos], [int(x) for x in batch.isize]))
 
 
+def normalize_html(path):
+    """HTML byte-comparison surface: version cell, command echo and
+    timestamps normalized (everything else must match byte-for-byte)."""
+    import re
+    with open(path, "rb") as f:
+        s = f.read().decode("latin-1")
+    s = re.sub(r"gencore report at [0-9: -]+ </title>",
+               "gencore report at T </title>", s)
+    s = re.sub(r"<p>.*?</p>", "<p></p>", s, flags=re.S)
+    s = re.sub(r"gencore(-tpu)? v?[0-9.]+, at [0-9: -]+ </div>",
+               "gencore V, at T </div>", s)
+    s = re.sub(r"<tr><td class='col1'>gencore(-tpu)? version:</td>"
+               r"<td class='col2'>[^<]*",
+               "<tr><td class='col1'>gencore version:</td>"
+               "<td class='col2'>V", s)
+    return s
+
+
 def normalize_json(path):
     """Byte comparison surface: raw text with the command echo blanked
     (the reference emits non-JSON literals like -nan, so no parsing)."""
@@ -70,6 +88,13 @@ def run_case(name, sb, args, workdir, report=True):
     fa = os.path.join(workdir, f"{name}.fa")
     sb.write_bam(bam_in)
     sb.write_fasta(fa)
+    if "-b" in args:
+        # capture-region BED over the first contig
+        bed_path = os.path.join(workdir, f"{name}.bed")
+        with open(bed_path, "w") as f:
+            for k in range(12):
+                f.write(f"chr1\t{1000 + 15000 * k}\t{6000 + 15000 * k}\tR{k}\n")
+        args = [bed_path if a == "__BED__" else a for a in args]
 
     ref_out = os.path.join(workdir, f"{name}.ref.bam")
     tpu_out = os.path.join(workdir, f"{name}.tpu.bam")
@@ -108,6 +133,8 @@ def run_case(name, sb, args, workdir, report=True):
         fails.append(f"{name}: record ORDER differs (same multiset)")
     if report and normalize_json(ref_json) != normalize_json(tpu_json):
         fails.append(f"{name}: JSON reports differ")
+    if report and normalize_html(ref_html) != normalize_html(tpu_html):
+        fails.append(f"{name}: HTML reports differ")
     return fails
 
 
@@ -157,6 +184,7 @@ def make_cases(quick=False):
     cases.append(("umi_singlestrand", simple_workload(14, n, umi=True),
                   ["-u", "UMI", "--no_duplex"]))
     cases.append(("duplex_only", wide_workload(15, n), ["-u", "UMI", "-x"]))
+    cases.append(("bed_regions", wide_workload(17, n), ["-b", "__BED__"]))
     if not quick:
         cases.append(("big_mixed", wide_workload(16, 4000, clen=2_000_000), ["-u", "UMI"]))
     return cases
