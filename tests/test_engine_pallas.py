@@ -23,6 +23,29 @@ def test_pallas_engine_equivalence(tmp_path, force_pallas):
     assert_equivalent(o, v)
 
 
+def test_pallas_engine_raw_quals(tmp_path, force_pallas):
+    """>15 distinct qual values: qual uploads fall back to raw mode and
+    the vote-output nibble packing disables itself (no candidate table);
+    output must still match the oracle."""
+    import numpy as np
+    from tests.datagen import SyntheticBam
+    sb = SyntheticBam(seed=93, contig_len=200_000)
+    rng = np.random.default_rng(94)
+    for k in range(40):
+        pos = 1000 + 400 * k
+        for _ in range(int(rng.integers(1, 4))):
+            qual = rng.integers(5, 41, size=100).astype(np.uint8)
+            seq1, cg1 = sb.read_seq(0, pos, 100,
+                                    n_errors=int(rng.random() < 0.4))
+            seq2, cg2 = sb.read_seq(0, pos + 150, 100)
+            qname = sb._qname("ACGT_TTAA")
+            sb._add(0, pos, qname, 99, cg1, 0, pos + 150, 250, seq1, qual, 0)
+            sb._add(0, pos + 150, qname, 147, cg2, 0, pos, -250, seq2,
+                    rng.integers(5, 41, size=100).astype(np.uint8), 0)
+    o, v = run_both(sb, tmp_path)
+    assert_equivalent(o, v)
+
+
 def test_pallas_engine_shifted_members(tmp_path, force_pallas):
     """Right-mode jobs with lenDiff shifts route through the host re-gather
     + second pallas call."""
