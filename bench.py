@@ -191,23 +191,38 @@ def main():
     stage_tables = []
     n_out = 0
     out_path = os.path.join(BENCH_DIR, "bench_out.bam")
+    from gencore_tpu.io import native as gnative
+    use_inc = gnative.get_lib() is not None
     for _ in range(max(N_RUNS, 1)):
         t1 = time.time()
         rdr = bamio.BamReader(bam_path)
         b = rdr.read_all()
         t_dec = time.time() - t1
         stage_sum: dict = {}
-        tables, pre_stats, post_stats = pipe.run_pipelined(
-            Options(), b, rdr.header, fasta=fasta, n_windows=n_windows,
-            stage_totals=stage_sum)
-        t_wr = time.time()
-        payload = pipe.merged_payload(tables)
-        w = bamio.BamWriter(out_path, rdr.header)
-        w.write_payload(payload)
-        w.close()
-        t_wr = time.time() - t_wr
+        if use_inc:
+            # incremental writer: window payloads compress+write on the
+            # collector thread as flush boundaries clear
+            from gencore_tpu.parallel.streaming import StreamingBamWriter
+            w = StreamingBamWriter(out_path, rdr.header)
+            tables, pre_stats, post_stats = pipe.run_pipelined(
+                Options(), b, rdr.header, fasta=fasta, n_windows=n_windows,
+                stage_totals=stage_sum, out_writer=w)
+            t_wr = time.time()
+            w.close()
+            t_wr = time.time() - t_wr
+            n_out = getattr(w, "records_written", 0)
+        else:
+            tables, pre_stats, post_stats = pipe.run_pipelined(
+                Options(), b, rdr.header, fasta=fasta, n_windows=n_windows,
+                stage_totals=stage_sum)
+            t_wr = time.time()
+            payload = pipe.merged_payload(tables)
+            w = bamio.BamWriter(out_path, rdr.header)
+            w.write_payload(payload)
+            w.close()
+            t_wr = time.time() - t_wr
+            n_out = sum(len(t) for t in tables)
         runs.append(time.time() - t1)
-        n_out = sum(len(t) for t in tables)
         # summed per-window stage times: wall-clock overlap means these
         # exceed elapsed; they attribute where time goes, not the critical path
         st = {k: round(v, 3) for k, v in sorted(stage_sum.items(),

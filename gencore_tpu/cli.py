@@ -228,22 +228,33 @@ def main(argv=None) -> int:
                         and (args.windows > 1 or args.devices > 1
                              or batch.n >= 80_000))
         if use_pipeline:
+            from gencore_tpu.io import native as _native
             from gencore_tpu.parallel import pipeline as pipe
             devices = None
             if args.devices > 1:
                 import jax
                 devices = jax.local_devices()[:args.devices]
             stage_sum = {} if opt.debug else None
+            out_writer = None
+            if (not sam_out and opt.output != "-"
+                    and _native.get_lib() is not None):
+                # incremental per-window BGZF writes overlap compression
+                # with later windows' host/device work
+                from gencore_tpu.parallel.streaming import StreamingBamWriter
+                out_writer = StreamingBamWriter(opt.output, header)
             tables, pre_stats, post_stats = pipe.run_pipelined(
                 opt, batch, header, fasta=fasta, bed=bed,
                 n_windows=args.windows, devices=devices,
-                stage_totals=stage_sum)
+                stage_totals=stage_sum, out_writer=out_writer)
             if stage_sum:
                 for k in sorted(stage_sum, key=lambda k: -stage_sum[k]):
                     print(f"[stage] {k}: {stage_sum[k]:.3f}s (summed over "
                           "windows)", file=sys.stderr)
             engine = _MergedResult(pre_stats, post_stats)
-            if sam_out:
+            if out_writer is not None:
+                out_writer.close()
+                outs = None
+            elif sam_out:
                 from gencore_tpu.parallel import windows as win
                 outs = win.merged_records(tables)
             else:
@@ -253,23 +264,24 @@ def main(argv=None) -> int:
             outs = engine.run(batch)
     _trace_ctx.__exit__(None, None, None)
 
-    if sam_out:
-        from gencore_tpu.io.sam import SamWriter
-        writer = SamWriter(opt.output, header)
-    else:
-        writer = bamio.BamWriter(opt.output, header)
-    import numpy as _np
-    if isinstance(outs, _np.ndarray):
-        writer.write_payload(outs)
-    elif hasattr(outs, "build_payload"):
-        writer.write_table(outs)
-    elif outs and isinstance(outs[0], bytes):
-        for body in outs:
-            writer.write_record(body)
-    else:
-        for r in outs:
-            writer.write_record(r.encode())
-    writer.close()
+    if outs is not None:
+        if sam_out:
+            from gencore_tpu.io.sam import SamWriter
+            writer = SamWriter(opt.output, header)
+        else:
+            writer = bamio.BamWriter(opt.output, header)
+        import numpy as _np
+        if isinstance(outs, _np.ndarray):
+            writer.write_payload(outs)
+        elif hasattr(outs, "build_payload"):
+            writer.write_table(outs)
+        elif outs and isinstance(outs[0], bytes):
+            for body in outs:
+                writer.write_record(body)
+        else:
+            for r in outs:
+                writer.write_record(r.encode())
+        writer.close()
 
     if opt.debug and hasattr(engine, "timer"):
         for line in engine.timer.report_lines():

@@ -33,6 +33,11 @@ BINS = (0, 1, 2, 4, 8, 15)  # non-empty bins for =ACGTN data (see kernels.py)
 
 SENTINEL = 255  # member-absent marker (never matches a bin or refbase)
 
+# sparse wire-encoding caps (see _epilogue): inline seq edits / qual runs
+# per job; jobs exceeding either are pulled densely by the collector
+SPARSE_DIFFS = 8
+SPARSE_RUNS = 16
+
 
 def _vote_block(seq, qual, score, refbase, hi, mod, lo, bsr, rnum, rden):
     """Voting math on one block: seq/qual/score [K, TJ, L] (absent members
@@ -195,14 +200,26 @@ def _pallas_stage(seq, qual, score, refbase, valid, *, hi, mod, lo,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "hi", "mod", "lo", "base_score_req", "ratio_num", "ratio_den", "out_len"))
+    "hi", "mod", "lo", "base_score_req", "ratio_num", "ratio_den", "out_len",
+    "sparse", "n_diffs", "n_runs"))
 def _epilogue(cseq, cqual, chg, minc_pos, seq0, qual0,
               job_len, *, hi, mod, lo, base_score_req, ratio_num, ratio_den,
-              out_len=None):
+              out_len=None, sparse=False, n_diffs=SPARSE_DIFFS,
+              n_runs=SPARSE_RUNS):
     """Per-read rollback + output packing. new_seq ships 4-bit packed
     (BAM nibble layout, first base in the high nibble) — the transport
     has no wire compression, so halving the seq bytes halves its
-    download time; the host unpacks vectorized."""
+    download time; the host unpacks vectorized.
+
+    sparse=True additionally emits a compact wire encoding (the dense
+    arrays stay device-resident for overflow fallback):
+      * seq as up to `n_diffs` (position, base) edits vs the template row
+        (the consensus equals the template except at changed positions,
+        group.cpp:504-516), plus the true edit count;
+      * qual as up to `n_runs` run-length (start, value) pairs, plus the
+        true run count.
+    Requires out_len <= 256 so positions fit a byte (checked by caller).
+    """
     J, L = cseq.shape
     pos_valid = jnp.arange(L, dtype=I32)[None, :] < job_len[:, None]
     tmpl_seq = seq0.astype(I32)
@@ -220,12 +237,47 @@ def _epilogue(cseq, cqual, chg, minc_pos, seq0, qual0,
     new_seq = new_seq[:, :ol]
     new_qual = new_qual[:, :ol]
     pseq = (new_seq[:, 0::2] << 4) | new_seq[:, 1::2]
-    return pseq, new_qual, diff, minc
+    if not sparse:
+        return pseq, new_qual, diff, minc
+
+    # ---- seq edits vs the template row (final rows, so rollback and
+    # out-of-range positions are already template values and never edit)
+    emask = (new_seq != seq0.astype(jnp.uint8)[:, :ol]).astype(I32)
+    nd = emask.sum(axis=1)
+    ranks = jnp.cumsum(emask, axis=1) * emask      # 1..nd at edit positions
+    sp = []
+    sb = []
+    for d in range(1, n_diffs + 1):
+        pos = jnp.argmax((ranks == d).astype(I32), axis=1).astype(I32)
+        sp.append(pos)
+        sb.append(jnp.take_along_axis(new_seq, pos[:, None], axis=1)[:, 0])
+    sp = jnp.stack(sp, axis=1).astype(jnp.uint8)
+    sb = jnp.stack(sb, axis=1).astype(jnp.uint8)
+
+    # ---- qual runs
+    q = new_qual.astype(I32)
+    b = jnp.concatenate(
+        [jnp.ones((J, 1), I32), (q[:, 1:] != q[:, :-1]).astype(I32)], axis=1)
+    rid = jnp.cumsum(b, axis=1) * b                # run no. (1-based) at starts
+    qs = []
+    qv = []
+    for r in range(1, n_runs + 1):
+        pos = jnp.argmax((rid == r).astype(I32), axis=1).astype(I32)
+        qs.append(pos)
+        qv.append(jnp.take_along_axis(q, pos[:, None], axis=1)[:, 0])
+    qs = jnp.stack(qs, axis=1).astype(jnp.uint8)
+    qv = jnp.stack(qv, axis=1).astype(jnp.uint8)
+    nr = b.sum(axis=1)
+
+    enc = (qv, qs, jnp.minimum(nr, 255).astype(jnp.uint8),
+           sp, sb, jnp.minimum(nd, 255).astype(jnp.uint8),
+           diff.astype(jnp.int16), minc.astype(jnp.int16))
+    return pseq, new_qual, diff, minc, enc
 
 
 def pallas_vote(seq, qual, score, valid, job_len, refbase, *, hi, mod, lo,
                 base_score_req, ratio_num, ratio_den, tj=256,
-                interpret=False, out_len=None):
+                interpret=False, out_len=None, sparse=False):
     tj = _TJ_USED.get(tj, tj)
     """Pallas-backed voting over gathered member tensors.
 
@@ -235,6 +287,9 @@ def pallas_vote(seq, qual, score, valid, job_len, refbase, *, hi, mod, lo,
     4-bit packed (BAM nibble layout, [J, out_len//2]); new_qual is raw
     [J, out_len]. Semantics after host unpack match kernels._vote_core
     (full_bins=False) including rollback.
+
+    sparse=True appends the compact wire encoding (see _epilogue): returns
+    (pseq, new_qual, diff, minc, enc) with the first four still on device.
     """
     kw = dict(hi=hi, mod=mod, lo=lo, base_score_req=base_score_req,
               ratio_num=ratio_num, ratio_den=ratio_den)
@@ -254,7 +309,7 @@ def pallas_vote(seq, qual, score, valid, job_len, refbase, *, hi, mod, lo,
     _TJ_USED[tj] = cur
     return _epilogue(cseq, cqual, chg, minc_pos, seq[0], qual[0],
                      jnp.asarray(job_len, dtype=I32),
-                     out_len=out_len, **kw)
+                     out_len=out_len, sparse=sparse, **kw)
 
 
 _TJ_USED: dict = {}

@@ -1039,6 +1039,9 @@ class VectorEngine:
                            or (jax.default_backend() != "cpu"
                                and not os.environ.get("GENCORE_NO_PALLAS"))))
         self._pallas_interpret = force == "interp"
+        # sparse wire encoding needs byte-sized positions (out_len <= 256)
+        self._sparse_dl = (use_pallas and self.out_len <= 256
+                           and not os.environ.get("GENCORE_NO_SPARSE"))
         refbase_all = refbase_dev = None
         with self.timer.stage("vote.refbase"):
             if (use_pallas and self._genome is not None
@@ -1183,17 +1186,24 @@ class VectorEngine:
         charge per-round-trip latency), then XOR-undone vectorized."""
         from gencore_tpu.io import native
         _T = self.timer.stage
-        packed = [(jlist, outs.dev_out, ov) for jlist, outs, ov in pending
+        packed = [(jlist, outs, ov) for jlist, outs, ov in pending
                   if isinstance(outs, _PackedOut)]
         plains = [(jlist, outs, ov) for jlist, outs, ov in pending
                   if not isinstance(outs, _PackedOut)]
-        qtable = self._vote_qual_table() if packed else None
+        sparse = bool(packed) and packed[0][1].enc is not None
+        qtable = (self._vote_qual_table()
+                  if packed and not sparse else None)
         if getattr(self, "_warm_only", False):
             import jax as _jx
-            if packed:
+            if sparse:
                 flat = []
-                for _, d, _ in packed:
-                    flat.extend(d)
+                for _, outs, _ in packed:
+                    flat.extend(outs.enc)
+                _jx.block_until_ready(_concat_sparse_fn(len(packed))(*flat))
+            elif packed:
+                flat = []
+                for _, outs, _ in packed:
+                    flat.extend(outs.dev_out)
                 if qtable is not None:
                     _jx.block_until_ready(
                         _concat_outs_packed_fn(len(packed))(qtable, *flat))
@@ -1202,19 +1212,50 @@ class VectorEngine:
             for _, outs, _ in plains:
                 _jx.block_until_ready(outs)
             return
+        if sparse:
+            with _T("vote.sync"):
+                ds, dq, df, mc = self._sparse_collect(packed)
+            off = 0
+            for jlist, outs, ov in packed:
+                j2 = outs.enc[2].shape[0]
+                for jj, ji in enumerate(jlist):
+                    job = jobs[ji]
+                    if ov is not None and jj in ov:
+                        pse, q, dd, m = ov[jj]
+                        job.new_seq = _unpack_nibbles(pse[None])[0]
+                        job.new_qual = np.array(q)
+                        job.diff = dd
+                        job.minc = m
+                    else:
+                        job.new_seq = ds[off + jj]
+                        job.new_qual = dq[off + jj]
+                        job.diff = int(df[off + jj])
+                        job.minc = int(mc[off + jj])
+                off += j2
+            for jlist, outs, _ in plains:
+                with _T("vote.sync"):
+                    new_seq, new_qual = np.array(outs[0]), np.array(outs[1])
+                    diff, minc = np.asarray(outs[2]), np.asarray(outs[3])
+                for jj, ji in enumerate(jlist):
+                    job = jobs[ji]
+                    job.new_seq = new_seq[jj]
+                    job.new_qual = new_qual[jj]
+                    job.diff = int(diff[jj])
+                    job.minc = int(minc[jj])
+            return
         if packed:
             with _T("vote.sync"):
                 flat = []
-                for _, d, _ in packed:
-                    flat.extend(d)
+                for _, outs, _ in packed:
+                    flat.extend(outs.dev_out)
                 dq = None
                 if qtable is not None:
                     flat_d, dq_d = \
                         _concat_outs_packed_fn(len(packed))(qtable, *flat)
                     # ONE device->host transfer for the whole window
                     fb = np.asarray(flat_d)
-                    J2 = sum(d[0].shape[0] for _, d, _ in packed)
-                    pw = packed[0][1][0].shape[1]
+                    J2 = sum(outs.dev_out[0].shape[0] for _, outs, _ in packed)
+                    pw = packed[0][1].dev_out[0].shape[1]
                     o1 = J2 * pw          # ps
                     o2 = o1 + J2 * pw     # qp
                     o3 = o2 + J2 * 4      # df
@@ -1242,8 +1283,8 @@ class VectorEngine:
                 if ds is None:
                     ds = _unpack_nibbles(ps)
             off = 0
-            for jlist, d, ov in packed:
-                j2 = d[0].shape[0]
+            for jlist, outs, ov in packed:
+                j2 = outs.dev_out[0].shape[0]
                 for jj, ji in enumerate(jlist):
                     job = jobs[ji]
                     if ov is not None and jj in ov:
@@ -1269,6 +1310,92 @@ class VectorEngine:
                 job.diff = int(diff[jj])
                 job.minc = int(minc[jj])
 
+    def _sparse_collect(self, packed):
+        """Decode the sparse wire encoding for all buckets of one window:
+        ONE flat download (~54 B/job), then host-side reconstruction —
+        consensus seq = the template row (host already has it in
+        work.seq_packed) patched with <=C downloaded edits; qual rows
+        expand from <=R run-length pairs. Jobs whose true edit/run counts
+        exceed the caps are pulled densely per bucket (rare).
+
+        Returns (ds, dq, df, mc) shaped like the dense path's outputs."""
+        from gencore_tpu.core.pallas_vote import SPARSE_DIFFS as C
+        from gencore_tpu.core.pallas_vote import SPARSE_RUNS as R
+        from gencore_tpu.io import native
+        flat = []
+        for _, outs, _ in packed:
+            flat.extend(outs.enc)
+        fb = np.asarray(_concat_sparse_fn(len(packed))(*flat))
+        J2s = [outs.enc[2].shape[0] for _, outs, _ in packed]
+        Jt = sum(J2s)
+        ol = self.out_len
+        o = 0
+        qv = fb[o:o + Jt * R].reshape(Jt, R); o += Jt * R
+        qs = fb[o:o + Jt * R].reshape(Jt, R).astype(np.int32); o += Jt * R
+        nr = fb[o:o + Jt].astype(np.int32); o += Jt
+        sp = fb[o:o + Jt * C].reshape(Jt, C).astype(np.int64); o += Jt * C
+        sb = fb[o:o + Jt * C].reshape(Jt, C); o += Jt * C
+        nd = fb[o:o + Jt].astype(np.int32); o += Jt
+        df = fb[o:o + 2 * Jt].view(np.int16).astype(np.int64); o += 2 * Jt
+        mc = fb[o:o + 2 * Jt].view(np.int16).astype(np.int64)
+
+        real = np.zeros(Jt, dtype=bool)
+        rows0 = np.zeros(Jt, dtype=np.int64)
+        off = 0
+        for (jlist, outs, _), j2 in zip(packed, J2s):
+            real[off:off + len(jlist)] = True
+            rows0[off:off + j2] = outs.rows0
+            off += j2
+        ov = real & ((nr > R) | (nd > C))
+
+        # ---- qual: run-length expansion (overflow/pad rows expand as a
+        # single zero run and are overwritten below)
+        nr_c = np.minimum(nr, R)
+        force = ov | ~real
+        nr_c[force] = 1
+        qs[force, 0] = 0
+        ar = np.arange(R)
+        vrun = ar[None, :] < nr_c[:, None]
+        last = ar[None, :] == (nr_c - 1)[:, None]
+        ends = np.concatenate([qs[:, 1:], np.full((Jt, 1), ol, np.int32)],
+                              axis=1)
+        ends = np.where(last, np.int32(ol), ends)
+        lens = np.where(vrun, ends - qs, 0)
+        dq = np.repeat(qv[vrun], lens[vrun].clip(0)).reshape(Jt, ol)
+
+        # ---- seq: template rows (host copy) + downloaded edits
+        tpk = self.work.seq_packed[rows0]
+        ds = native.unpack_nib_dense(tpk, _IDENT16)
+        if ds is None:
+            ds = _unpack_nibbles(tpk)
+        nd_c = np.minimum(nd, C)
+        nd_c[force] = 0
+        vedit = np.arange(C)[None, :] < nd_c[:, None]
+        jj, cc = np.nonzero(vedit)
+        ds[jj, sp[jj, cc]] = sb[jj, cc]
+
+        # ---- overflow fallback: dense rows per affected bucket
+        if ov.any():
+            off = 0
+            for (jlist, outs, _), j2 in zip(packed, J2s):
+                sel = np.nonzero(ov[off:off + j2])[0]
+                if len(sel):
+                    n2 = _next_pow2(len(sel))
+                    idxp = np.zeros(n2, dtype=np.int32)
+                    idxp[:len(sel)] = sel
+                    pseq_d, qual_d = outs.dev_out[0], outs.dev_out[1]
+                    pw = pseq_d.shape[1]
+                    buf = np.asarray(_pull_dense_fn()(pseq_d, qual_d, idxp))
+                    pr = buf[:n2 * pw].reshape(n2, pw)[:len(sel)]
+                    qr = buf[n2 * pw:].reshape(n2, ol)[:len(sel)]
+                    drows = native.unpack_nib_dense(pr, _IDENT16)
+                    if drows is None:
+                        drows = _unpack_nibbles(pr)
+                    ds[off + sel] = drows
+                    dq[off + sel] = qr
+                off += j2
+        return ds, dq, df, mc
+
     def _vote_pallas(self, kb, rows, shifts, valid, jl_arr, refbase,
                      shifted_jj, work, batch, seq_dev, qual_dev, score_dev,
                      rnum, rden, tj):
@@ -1290,9 +1417,15 @@ class VectorEngine:
                   base_score_req=o.base_score_req, ratio_num=rnum,
                   ratio_den=rden, tj=tj,
                   interpret=getattr(self, "_pallas_interpret", False))
-        out = _PackedOut(list(pallas_vote.pallas_vote(
-            g_seq, g_qual, g_score, valid.T, jl_arr, refbase,
-            out_len=self.out_len, **kw)))
+        if getattr(self, "_sparse_dl", False):
+            res = pallas_vote.pallas_vote(
+                g_seq, g_qual, g_score, valid.T, jl_arr, refbase,
+                out_len=self.out_len, sparse=True, **kw)
+            out = _PackedOut(list(res[:4]), enc=res[4], rows0=rows[:, 0].copy())
+        else:
+            out = _PackedOut(list(pallas_vote.pallas_vote(
+                g_seq, g_qual, g_score, valid.T, jl_arr, refbase,
+                out_len=self.out_len, **kw)))
         overrides = None
         if shifted_jj:
             # host re-gather with shifts for the affected jobs only
@@ -1836,6 +1969,48 @@ _IDENT16 = np.arange(16, dtype=np.uint8)
 
 
 @_functools.cache
+def _concat_sparse_fn(nb: int):
+    """One-shot device concat of nb buckets' sparse encodings into a single
+    u8 wire buffer: [qv J*R | qs J*R | nr J | sp J*C | sb J*C | nd J |
+    df 2J | mc 2J] — ~54 bytes/job vs ~160 dense-packed. The transport has
+    no wire compression and ~23 MB/s D2H, so bytes are the cost."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def cat(*arrs):
+        groups = [arrs[8 * i:8 * (i + 1)] for i in range(nb)]
+        if nb == 1:
+            qv, qs, nr, sp, sb, nd, df16, mc16 = groups[0]
+        else:
+            qv, qs, nr, sp, sb, nd, df16, mc16 = (
+                jnp.concatenate([g[k] for g in groups], axis=0)
+                for k in range(8))
+        return jnp.concatenate([
+            qv.reshape(-1), qs.reshape(-1), nr.reshape(-1),
+            sp.reshape(-1), sb.reshape(-1), nd.reshape(-1),
+            jax.lax.bitcast_convert_type(df16, jnp.uint8).reshape(-1),
+            jax.lax.bitcast_convert_type(mc16, jnp.uint8).reshape(-1),
+        ])
+
+    return cat
+
+
+@_functools.cache
+def _pull_dense_fn():
+    """Gather selected dense rows (packed seq + qual) into one flat u8
+    download buffer — the overflow fallback for sparse collection."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def pull(pseq, qual, idx):
+        return jnp.concatenate([pseq[idx].reshape(-1), qual[idx].reshape(-1)])
+
+    return pull
+
+
+@_functools.cache
 def _concat_outs_packed_fn(nb: int):
     """_concat_outs_fn variant that also nibble-encodes the qual rows
     against a 16-value table (enc 0 = 'not in table'; `bad` counts
@@ -1914,10 +2089,18 @@ def _pull_rows(qual_dev, score_dev, need_rows):
 
 class _PackedOut:
     """Deferred pallas vote outputs (packed seq nibbles, qual, diff, minc);
-    device arrays are held until the single collection download."""
+    device arrays are held until the single collection download.
 
-    def __init__(self, dev_out):
+    When the sparse wire encoding is active, `enc` holds the compact
+    per-bucket device arrays (see pallas_vote._epilogue) and `rows0` the
+    template work-array row per job (the host rebuilds consensus rows from
+    its own copy of the template and the downloaded edits); dev_out then
+    serves only as the dense fallback for overflow rows."""
+
+    def __init__(self, dev_out, enc=None, rows0=None):
         self.dev_out = dev_out
+        self.enc = enc
+        self.rows0 = rows0
 
 
 class _WorkArrays:

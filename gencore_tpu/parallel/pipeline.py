@@ -123,17 +123,92 @@ def merged_payload(tables) -> np.ndarray:
     return out
 
 
+def flush_ready(pending: list, boundary, writer):
+    """Emit every pending record with bamComp key strictly below
+    `boundary` (a (tid, pos) pair; None = flush all), preserving the
+    stable (window, within-window) merge order. `pending` entries are
+    (keys [n,5], starts, lens, payload) tuples; kept-back tails stay."""
+    parts = []
+    keep = []
+    for K, starts, lens, payload in pending:
+        if boundary is None:
+            m = np.ones(len(K), dtype=bool)
+        else:
+            tb, pb = boundary
+            m = (K[:, 0] < tb) | ((K[:, 0] == tb) & (K[:, 1] < pb))
+        if m.any():
+            parts.append((K[m], starts[m], lens[m], payload))
+        if not m.all():
+            keep.append((K[~m], starts[~m], lens[~m], payload))
+    pending[:] = keep
+    if not parts:
+        return
+    K = np.concatenate([p[0] for p in parts])
+    order = np.lexsort((K[:, 4], K[:, 3], K[:, 2], K[:, 1], K[:, 0]))
+    big_off = 0
+    so_l, pay_l = [], []
+    for _, starts, lens, payload in parts:
+        so_l.append(starts + big_off)
+        pay_l.append(payload)
+        big_off += len(payload)
+    big = np.concatenate(pay_l)
+    so = np.concatenate(so_l)[order]
+    sl = np.concatenate([p[2] for p in parts])[order]
+    do = np.zeros(len(sl), dtype=np.int64)
+    np.cumsum(sl[:-1], out=do[1:])
+    out = np.empty(int(sl.sum()), dtype=np.uint8)
+    from gencore_tpu.io import native
+    if not native.gather_slices(big, so, sl, out, do):
+        from gencore_tpu.core.output import multi_slice_indices
+        out = big[multi_slice_indices(so, sl)]
+    writer.write_payload(out)
+
+
+def window_flush_boundaries(batch, wins):
+    """Per-window safe flush boundary: after window w completes, every
+    record with key strictly below boundary[w] can be written — no later
+    window can emit below it. Emitted records keep their own (tid, pos),
+    and a record's pos is always >= its cluster-left key, so the lexmin
+    record (tid, pos) of each window lower-bounds its emissions; the
+    suffix-min over later windows makes the bound safe even when a
+    window's records all sit far right of its cluster-left cut (absent
+    mates pull cluster-left below every member pos). boundary[-1] is None
+    (flush all)."""
+    t = batch.tid.astype(np.int64)
+    p = batch.pos.astype(np.int64)
+    keys = []
+    for idx in wins:
+        tw = t[idx]
+        pw = p[idx]
+        j = int(np.lexsort((pw, tw))[0])
+        keys.append((int(tw[j]), int(pw[j])))
+    bounds = [None] * len(wins)
+    cur = None
+    for w in range(len(wins) - 1, 0, -1):
+        k = keys[w]
+        cur = k if cur is None or k < cur else cur
+        bounds[w - 1] = cur
+    return bounds
+
+
 def run_pipelined(opt: Options, batch: bamio.RecordBatch, header,
                   fasta=None, bed=None, n_windows: int = 0,
                   devices=None, warm_only: bool = False,
                   max_inflight: int = 3, stage_totals: dict = None,
-                  engines_out: list = None):
+                  engines_out: list = None, out_writer=None):
     """Run the vectorized engine as a window pipeline; returns
     (tables, pre_stats, post_stats) record-equivalent to a single-shot
     VectorEngine.run (the merged outputs are ordered by windows.merged_records).
 
     n_windows=0 picks a size-based default. devices: optional list of jax
-    devices to round-robin windows over (None = default device only)."""
+    devices to round-robin windows over (None = default device only).
+
+    out_writer: an incremental writer (StreamingBamWriter-compatible
+    write_payload) — window outputs are then encoded and written on the
+    collector thread as each window's flush boundary clears (overlapping
+    the BGZF compression with later windows' host/device work) and the
+    returned tables list is empty. Output bytes are identical to writing
+    merged_payload(tables)."""
     assert opt.max_contig == 0, \
         "window pipelining does not combine with --quit_after_contig"
     if opt.umi_prefix == "auto":
@@ -174,6 +249,9 @@ def run_pipelined(opt: Options, batch: bamio.RecordBatch, header,
     wins = plan_windows(batch, header.lengths, n_windows)
     if not wins:
         return [], pre, post
+    bounds = (window_flush_boundaries(batch, wins)
+              if out_writer is not None and not warm_only else None)
+    wpending: list = []
 
     import jax
     devs = list(devices) if devices else [None]
@@ -206,6 +284,22 @@ def run_pipelined(opt: Options, batch: bamio.RecordBatch, header,
                 else:
                     tables[w] = eng.run_collect(st)
                 engines[w] = eng
+                if bounds is not None:
+                    tw0 = _time.perf_counter()
+                    t = tables[w]
+                    if t is not None and len(t):
+                        pay = t.build_payload()  # sets t._doff
+                        wpending.append((t.record_keys(),
+                                         t._doff[:-1].copy(),
+                                         np.diff(t._doff), pay))
+                        out_writer.records_written = (
+                            getattr(out_writer, "records_written", 0)
+                            + len(t))
+                    tables[w] = None  # payload now owned by wpending
+                    flush_ready(wpending, bounds[w], out_writer)
+                    eng.timer.totals["write"] = (
+                        eng.timer.totals.get("write", 0.0)
+                        + _time.perf_counter() - tw0)
                 if dbg:
                     tc1 = _time.perf_counter()
                     print(f"[pipeline] w{w} collect "

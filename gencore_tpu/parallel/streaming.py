@@ -34,7 +34,9 @@ from gencore_tpu.io import bam as bamio
 from gencore_tpu.io import native
 from gencore_tpu.options import Options
 from gencore_tpu.stats import Stats
-from gencore_tpu.parallel.pipeline import plan_windows, _merge_window_stats
+from gencore_tpu.parallel.pipeline import (plan_windows, _merge_window_stats,
+                                           flush_ready,
+                                           window_flush_boundaries)
 from gencore_tpu.parallel.windows import (global_checkpoint,
                                           global_watermark)
 
@@ -181,66 +183,46 @@ class StreamingBam:
 
 
 class StreamingBamWriter:
-    """Incremental BGZF writer: header first, window payloads appended as
-    independent BGZF blocks, EOF marker on close."""
+    """Incremental BGZF writer: header + window payloads are treated as one
+    continuous byte stream chunked at the standard 65280-byte BGZF block
+    size — sub-block tails carry over to the next write — so the file is
+    byte-identical (framing included) to compressing the concatenated
+    payload in one shot (io.bam.BamWriter)."""
+
+    _CHUNK = 65280
 
     def __init__(self, path: str, header: bamio.BamHeader, level: int = 6):
         self.path = path
         self.level = level
-        hdr = np.frombuffer(header.encode(), dtype=np.uint8)
-        if not native.bgzf_write_ex(path, hdr, level, append=False,
-                                    write_eof=False):
+        self._carry = np.frombuffer(header.encode(), dtype=np.uint8)
+        self._opened = False
+        if native.get_lib() is None:
+            raise IOError("native BGZF writer unavailable")
+        # create/truncate the file now so close() on an empty run works
+        if not native.bgzf_write_ex(path, np.zeros(0, dtype=np.uint8),
+                                    level, append=False, write_eof=False):
             raise IOError("native BGZF writer unavailable")
 
     def write_payload(self, payload: np.ndarray):
         if len(payload) == 0:
             return
-        if not native.bgzf_write_ex(self.path, payload, self.level,
-                                    append=True, write_eof=False):
-            raise IOError("BGZF append failed")
+        buf = (np.concatenate([self._carry, payload]) if len(self._carry)
+               else np.asarray(payload, dtype=np.uint8))
+        cut = (len(buf) // self._CHUNK) * self._CHUNK
+        if cut:
+            if not native.bgzf_write_ex(self.path, buf[:cut], self.level,
+                                        append=True, write_eof=False):
+                raise IOError("BGZF append failed")
+        self._carry = buf[cut:]
 
     def close(self):
-        native.bgzf_write_ex(self.path, np.zeros(0, dtype=np.uint8),
-                             self.level, append=True, write_eof=True)
+        native.bgzf_write_ex(self.path, self._carry, self.level,
+                             append=True, write_eof=True)
+        self._carry = np.zeros(0, dtype=np.uint8)
 
 
-def _flush_ready(pending: list, boundary, writer):
-    """Emit every pending record with bamComp key strictly below
-    `boundary` (a (tid, pos) pair; None = flush all), preserving the
-    stable (window, within-window) merge order."""
-    parts = []
-    keep = []
-    for K, starts, lens, payload in pending:
-        if boundary is None:
-            m = np.ones(len(K), dtype=bool)
-        else:
-            tb, pb = boundary
-            m = (K[:, 0] < tb) | ((K[:, 0] == tb) & (K[:, 1] < pb))
-        if m.any():
-            parts.append((K[m], starts[m], lens[m], payload))
-        if not m.all():
-            keep.append((K[~m], starts[~m], lens[~m], payload))
-    pending[:] = keep
-    if not parts:
-        return
-    K = np.concatenate([p[0] for p in parts])
-    order = np.lexsort((K[:, 4], K[:, 3], K[:, 2], K[:, 1], K[:, 0]))
-    big_off = 0
-    so_l, pay_l = [], []
-    for _, starts, lens, payload in parts:
-        so_l.append(starts + big_off)
-        pay_l.append(payload)
-        big_off += len(payload)
-    big = np.concatenate(pay_l)
-    so = np.concatenate(so_l)[order]
-    sl = np.concatenate([p[2] for p in parts])[order]
-    do = np.zeros(len(sl), dtype=np.int64)
-    np.cumsum(sl[:-1], out=do[1:])
-    out = np.empty(int(sl.sum()), dtype=np.uint8)
-    if not native.gather_slices(big, so, sl, out, do):
-        from gencore_tpu.core.output import multi_slice_indices
-        out = big[multi_slice_indices(so, sl)]
-    writer.write_payload(out)
+# shared with the in-memory pipeline
+_flush_ready = flush_ready
 
 
 def run_streaming(opt: Options, path: str, out_path: str,
@@ -299,16 +281,8 @@ def run_streaming(opt: Options, path: str, out_path: str,
     wm = global_watermark(index, header.lengths)
     wins = plan_windows(index, header.lengths, n_windows)
 
-    # window start coordinates (tid, pos) for the ordered-emission holdback
-    tlen = np.array(header.lengths, dtype=np.int64)
-    cbase = np.zeros(len(tlen) + 1, dtype=np.int64)
-    np.cumsum(tlen, out=cbase[1:])
-
-    def win_start_key(idx):
-        t = index.tid[idx].astype(np.int64)
-        p = index.pos[idx].astype(np.int64)
-        j = int(np.lexsort((p, t))[0])
-        return (int(t[j]), int(p[j]))
+    # per-window safe flush boundaries for the ordered-emission holdback
+    bounds = window_flush_boundaries(index, wins)
 
     writer = StreamingBamWriter(out_path, header)
     pending: list = []
@@ -332,14 +306,11 @@ def run_streaming(opt: Options, path: str, out_path: str,
                 table = eng.run_collect(st)
                 stats_engines.append(eng)
                 if len(table):
-                    table.build_payload()
+                    pay = table.build_payload()
                     pending.append((table.record_keys(),
                                     table._doff[:-1] + 0,
-                                    np.diff(table._doff),
-                                    table.build_payload()))
-                boundary = (win_start_key(wins[w + 1])
-                            if w + 1 < len(wins) else None)
-                _flush_ready(pending, boundary, writer)
+                                    np.diff(table._doff), pay))
+                flush_ready(pending, bounds[w], writer)
             except BaseException as e:
                 err.append(e)
                 return
@@ -363,7 +334,7 @@ def run_streaming(opt: Options, path: str, out_path: str,
         th.join()
     if err:
         raise err[0]
-    _flush_ready(pending, None, writer)
+    flush_ready(pending, None, writer)
     writer.close()
     for eng in stats_engines:
         _merge_window_stats(pre, post, eng)

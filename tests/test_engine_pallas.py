@@ -46,6 +46,28 @@ def test_pallas_engine_raw_quals(tmp_path, force_pallas):
     assert_equivalent(o, v)
 
 
+def test_pallas_engine_sparse_overflow(tmp_path, force_pallas):
+    """Jobs with more seq edits than the sparse wire cap (SPARSE_DIFFS)
+    must round-trip through the dense overflow pull and still match the
+    oracle: deep clusters where the template read carries many errors, so
+    the consensus corrects >8 positions."""
+    import numpy as np
+    from tests.datagen import SyntheticBam
+    sb = SyntheticBam(seed=95, contig_len=200_000)
+    rng = np.random.default_rng(96)
+    for k in range(20):
+        pos = 1000 + 500 * k
+        for d in range(4):
+            # first duplicate (the likely template) gets a heavily
+            # corrupted low-qual read; the rest are clean high-qual
+            n_err = 14 if d == 0 else 0
+            qual = 15 if d == 0 else 36
+            sb.add_pair(0, pos, pos + 150, read_len=100, umi="AACC_GGTT",
+                        n_errors=n_err, qual=qual)
+    o, v = run_both(sb, tmp_path)
+    assert_equivalent(o, v)
+
+
 def test_pallas_engine_shifted_members(tmp_path, force_pallas):
     """Right-mode jobs with lenDiff shifts route through the host re-gather
     + second pallas call."""

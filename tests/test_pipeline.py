@@ -55,6 +55,50 @@ def test_pipeline_equals_single(tmp_path, n_windows, use_devices):
     assert merged == single.encoded_records()
 
 
+def test_pipeline_incremental_writer_byte_identical(tmp_path):
+    """out_writer (incremental per-window BGZF flush) must produce a BAM
+    whose decompressed payload is byte-identical to writing
+    merged_payload(tables) at the end."""
+    from gencore_tpu.io import native
+    from gencore_tpu.io import bgzf
+    if native.get_lib() is None:
+        pytest.skip("needs the native core")
+    from gencore_tpu.parallel.streaming import StreamingBamWriter
+    sb = make_random_workload(62, n_fragments=260, umi_mode="duplex",
+                              contig_len=500_000, n_contigs=2)
+    bam_path = str(tmp_path / "in.bam")
+    fa = str(tmp_path / "ref.fa")
+    sb.write_bam(bam_path)
+    sb.write_fasta(fa)
+    ref = FastaRef.load(fa)
+
+    reader = bam.BamReader(bam_path)
+    batch = reader.read_all()
+    tables, pre1, post1 = pipeline.run_pipelined(
+        Options(), batch, reader.header, fasta=ref, n_windows=4)
+    base_path = str(tmp_path / "base.bam")
+    w = bam.BamWriter(base_path, reader.header)
+    w.write_payload(pipeline.merged_payload(tables))
+    w.close()
+
+    reader2 = bam.BamReader(bam_path)
+    batch2 = reader2.read_all()
+    inc_path = str(tmp_path / "inc.bam")
+    iw = StreamingBamWriter(inc_path, reader2.header)
+    t2, pre2, post2 = pipeline.run_pipelined(
+        Options(), batch2, reader2.header, fasta=ref, n_windows=4,
+        out_writer=iw)
+    iw.close()
+    assert t2 == []
+    assert iw.records_written == sum(len(t) for t in tables)
+    # byte-identical INCLUDING BGZF framing (the tail-carry chunking)
+    assert open(inc_path, "rb").read() == open(base_path, "rb").read()
+    assert bgzf.decompress_file(inc_path) == bgzf.decompress_file(base_path)
+    for f in STAT_FIELDS:
+        assert getattr(pre1, f) == getattr(pre2, f), ("pre", f)
+        assert getattr(post1, f) == getattr(post2, f), ("post", f)
+
+
 def test_plan_windows_never_splits_clusters(tmp_path):
     sb = make_random_workload(61, n_fragments=300, umi_mode="plain",
                               contig_len=400_000, n_contigs=2)
