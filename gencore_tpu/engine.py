@@ -443,16 +443,21 @@ class VectorEngine:
 
         # ---- voting ----
         # =ACGTN-only data takes the reduced-bin kernel (see kernels.py);
-        # checked on the packed nibbles (host no longer keeps dense rows)
-        pwf = work.lens // 2
-        cols_p = np.arange(work.seq_packed.shape[1])
-        full_bins = bool(((~_OK_PAIR[work.seq_packed])
-                          & (cols_p[None, :] < pwf[:, None])).any())
-        if not full_bins:
-            oddrows = np.nonzero(work.lens % 2 == 1)[0]
-            if len(oddrows):
-                lastb = work.seq_packed[oddrows, work.lens[oddrows] // 2]
-                full_bins = bool((~_OK_HI[lastb]).any())
+        # checked on the packed nibbles (host no longer keeps dense rows).
+        # 2-bit staging already proved pure ACGT (a subset of =ACGTN), so
+        # that mode skips the scan.
+        if work.seq_mode == "2bit":
+            full_bins = False
+        else:
+            pwf = work.lens // 2
+            cols_p = np.arange(work.seq_packed.shape[1])
+            full_bins = bool(((~_OK_PAIR[work.seq_packed])
+                              & (cols_p[None, :] < pwf[:, None])).any())
+            if not full_bins:
+                oddrows = np.nonzero(work.lens % 2 == 1)[0]
+                if len(oddrows):
+                    lastb = work.seq_packed[oddrows, work.lens[oddrows] // 2]
+                    full_bins = bool((~_OK_HI[lastb]).any())
         with _T("vote"):
             pending = self._vote_jobs(jobs, batch, work, flats, full_bins,
                                       seq_dev, qual_dev, score_dev, ct)
@@ -1926,6 +1931,11 @@ for _hi in range(4):
         _PAIR_ACGT[_b] = True
 
 
+# qual-index nibble pair -> 2-bit pair (indices <= 3 by construction)
+_NIBIDX2B = np.array([((b >> 4) << 2) | (b & 0xF) for b in range(256)],
+                     dtype=np.uint8)
+_ALL_OK = np.ones(256, dtype=bool)
+
 _GENOME_PAD = 4096  # device-genome end slack; also caps device-refbase L
 
 
@@ -2175,30 +2185,52 @@ class _WorkArrays:
         self.dummy_row = n_pad - 1
 
         # 2-bit staging when the data allows (pure-ACGT bases / <=3 distinct
-        # qual values): 4 items per wire byte instead of 2
+        # qual values): 4 items per wire byte instead of 2. Fused native
+        # check+map+pack when available (the numpy version's boolean
+        # temporaries were a top materialize cost); numpy fallback below.
         self.seq_up = self.seq_packed
         self.seq_mode = "4bit"
-        cols = np.arange(pw, dtype=np.int64)[None, :]
-        ql64 = qlens.astype(np.int64)[:, None]
-        in_full = cols < (ql64 // 2)
-        odd_pos = (cols == ql64 // 2) & (ql64 % 2 == 1)
-        b = self.seq_packed[:n]
-        bad = (~_PAIR_ACGT[b] & in_full) | (~_HI_ACGT[b] & odd_pos)
-        if not bad.any():
-            v = _NIB2B[b]
-            s2 = np.zeros((n_pad, (pw + 1) // 2), dtype=np.uint8)
-            if pw % 2:
-                v = np.pad(v, ((0, 0), (0, 1)))
-            s2[:n] = (v[:, 0::2] << 4) | v[:, 1::2]
-            self.seq_up = s2
-            self.seq_mode = "2bit"
+        ow = (pw + 1) // 2
+        packed2 = -1
+        if n and use_native:
+            s2 = np.zeros((n_pad, ow), dtype=np.uint8)
+            packed2 = native.pack2_rows(self.seq_packed[:n], qlens,
+                                        _NIB2B, _PAIR_ACGT, _HI_ACGT, s2)
+            if packed2 == 1:
+                self.seq_up = s2
+                self.seq_mode = "2bit"
+        if packed2 == -1 and n:
+            cols = np.arange(pw, dtype=np.int64)[None, :]
+            ql64 = qlens.astype(np.int64)[:, None]
+            in_full = cols < (ql64 // 2)
+            odd_pos = (cols == ql64 // 2) & (ql64 % 2 == 1)
+            b = self.seq_packed[:n]
+            bad = (~_PAIR_ACGT[b] & in_full) | (~_HI_ACGT[b] & odd_pos)
+            if not bad.any():
+                v = _NIB2B[b]
+                s2 = np.zeros((n_pad, ow), dtype=np.uint8)
+                if pw % 2:
+                    v = np.pad(v, ((0, 0), (0, 1)))
+                s2[:n] = (v[:, 0::2] << 4) | v[:, 1::2]
+                self.seq_up = s2
+                self.seq_mode = "2bit"
         if self.qual_table is not None and len(nzvals) <= 3:
             self.qual_mode = "2bit"
-            bq = self.qual_up
-            vq = ((bq >> 4) << 2) | (bq & 0xF)
-            if pw % 2:
-                vq = np.pad(vq, ((0, 0), (0, 1)))
-            self.qual_up = (vq[:, 0::2] << 4) | vq[:, 1::2]
+            q2 = None
+            if n and use_native:
+                q2 = np.zeros((n_pad, ow), dtype=np.uint8)
+                full = np.full(n, 2 * pw, dtype=np.int32)
+                if native.pack2_rows(self.qual_up[:n], full, _NIBIDX2B,
+                                     _ALL_OK, _ALL_OK, q2) != 1:
+                    q2 = None
+            if q2 is not None:
+                self.qual_up = q2
+            else:
+                bq = self.qual_up
+                vq = ((bq >> 4) << 2) | (bq & 0xF)
+                if pw % 2:
+                    vq = np.pad(vq, ((0, 0), (0, 1)))
+                self.qual_up = (vq[:, 0::2] << 4) | vq[:, 1::2]
         elif self.qual_table is not None:
             self.qual_mode = "4bit"
         else:

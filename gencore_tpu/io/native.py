@@ -99,6 +99,12 @@ def get_lib():
     lib.gc_unpack_nib_dense.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                         ctypes.c_int64, ctypes.c_void_p,
                                         ctypes.c_void_p, ctypes.c_int]
+    lib.gc_pack2_rows.restype = ctypes.c_int
+    lib.gc_pack2_rows.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                  ctypes.c_int64, ctypes.c_void_p,
+                                  ctypes.c_void_p, ctypes.c_void_p,
+                                  ctypes.c_void_p, ctypes.c_void_p,
+                                  ctypes.c_int]
     lib.gc_greedy_group.restype = ctypes.c_int64
     lib.gc_greedy_group.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                     ctypes.c_void_p, ctypes.c_int64,
@@ -296,6 +302,27 @@ def pack_nib_rows(src: np.ndarray, src_off, lens, lut: np.ndarray, pw: int,
                          so.ctypes.data, ln.ctypes.data, n,
                          lut.ctypes.data, out.ctypes.data, pw, 0)
     return out
+
+
+def pack2_rows(packed: np.ndarray, lens, lut: np.ndarray,
+               ok_full: np.ndarray, ok_odd: np.ndarray,
+               out: np.ndarray) -> int:
+    """Validate + LUT-map + pairwise-pack nibble rows (threaded); see
+    gc_pack2_rows. Returns 1 when valid (out filled), 0 on a check
+    failure, -1 without the native lib."""
+    lib = get_lib()
+    if lib is None:
+        return -1
+    packed = np.ascontiguousarray(packed, dtype=np.uint8)
+    lens32 = np.ascontiguousarray(lens, dtype=np.int32)
+    lut8 = np.ascontiguousarray(lut, dtype=np.uint8)
+    okf8 = np.ascontiguousarray(ok_full, dtype=np.uint8)
+    oko8 = np.ascontiguousarray(ok_odd, dtype=np.uint8)
+    n, pw = packed.shape
+    assert out.shape[1] == (pw + 1) // 2 and out.flags.c_contiguous
+    return lib.gc_pack2_rows(
+        packed.ctypes.data, n, pw, lens32.ctypes.data, lut8.ctypes.data,
+        okf8.ctypes.data, oko8.ctypes.data, out.ctypes.data, 0)
 
 
 def unpack_nib_dense(packed: np.ndarray, lut: np.ndarray):

@@ -443,6 +443,54 @@ void gc_hist_rows(const uint8_t* src, const int64_t* src_off,
 // LUT-translate per-record byte runs and pack two 4-bit codes per output
 // byte (high nibble first): out[i] is a pw-wide packed row, zero-padded.
 // Used to stage quals as nibble indices for compact device upload.
+// Validate + byte-LUT-map rows of nibble-packed data, then pack byte
+// pairs into one byte (two 4-bit items -> four 2-bit items). Row i has
+// lens[i] items (2 per input byte): bytes j < lens/2 must satisfy
+// ok_full[b]; the odd tail byte (lens odd) must satisfy ok_odd[b]; bytes
+// beyond the row's data are 0 (lut[0] must map to 0). Returns 1 when all
+// rows validated (out filled), 0 otherwise (caller falls back).
+// out rows are ow = (pw+1)/2 bytes wide.
+int gc_pack2_rows(const uint8_t* packed, int64_t n, int64_t pw,
+                  const int32_t* lens, const uint8_t* lut,
+                  const uint8_t* ok_full, const uint8_t* ok_odd,
+                  uint8_t* out, int n_threads) {
+  const int64_t ow = (pw + 1) / 2;
+  int nt = hw_threads(n_threads);
+  std::atomic<int64_t> next(0);
+  std::atomic<bool> failed(false);
+  const int64_t kChunk = 1024;
+  auto worker = [&]() {
+    for (;;) {
+      int64_t lo = next.fetch_add(kChunk);
+      if (lo >= n || failed.load(std::memory_order_relaxed)) break;
+      int64_t hi = std::min(lo + kChunk, n);
+      for (int64_t i = lo; i < hi; ++i) {
+        const uint8_t* row = packed + i * pw;
+        int32_t l = lens[i];
+        if (l > 2 * pw) l = (int32_t)(2 * pw);
+        int64_t full = l / 2;
+        bool ok = true;
+        for (int64_t j = 0; j < full; ++j) ok &= ok_full[row[j]] != 0;
+        if (l & 1) ok &= ok_odd[row[full]] != 0;
+        if (!ok) {
+          failed.store(true);
+          return;
+        }
+        uint8_t* orow = out + i * ow;
+        int64_t j = 0;
+        for (; j + 1 < pw; j += 2)
+          orow[j / 2] = (uint8_t)((lut[row[j]] << 4) | lut[row[j + 1]]);
+        if (j < pw) orow[j / 2] = (uint8_t)(lut[row[j]] << 4);
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < nt; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& t : threads) t.join();
+  return failed.load() ? 0 : 1;
+}
+
 void gc_pack_nib_rows(const uint8_t* src, const int64_t* src_off,
                       const int32_t* lens, int64_t n, const uint8_t* lut,
                       uint8_t* out, int64_t pw, int n_threads) {
