@@ -94,6 +94,183 @@ class _Job:
     minc: int = 0
 
 
+class _JobView:
+    """Lazy per-job view over a _JobTable — only the scalar paths (slow
+    elections, scalar-cluster assembly, debug prints) materialize one."""
+
+    __slots__ = ("t", "i")
+
+    def __init__(self, t, i):
+        self.t = t
+        self.i = i
+
+    @property
+    def group_id(self):
+        return int(self.t.col("group_id")[self.i])
+
+    @property
+    def is_left_side(self):
+        return bool(self.t.col("is_left")[self.i])
+
+    @property
+    def left_read_mode(self):
+        return bool(self.t.col("left_mode")[self.i])
+
+    @property
+    def template_read(self):
+        return int(self.t.col("tmpl_read")[self.i])
+
+    @property
+    def template_pair(self):
+        return int(self.t.col("tmpl_pair")[self.i])
+
+    @property
+    def job_len(self):
+        return int(self.t.col("job_len")[self.i])
+
+    @property
+    def flat_start(self):
+        return int(self.t.col("flat_start")[self.i])
+
+    @property
+    def k(self):
+        return int(self.t.col("k")[self.i])
+
+    @property
+    def members_reads(self):
+        return self.t.members[self.i][0]
+
+    @property
+    def len_diffs(self):
+        return self.t.members[self.i][1]
+
+    @property
+    def new_seq(self):
+        return self.t.new_seq(self.i)
+
+    @property
+    def new_qual(self):
+        return self.t.new_qual(self.i)
+
+    @property
+    def diff(self):
+        return int(self.t.diff[self.i])
+
+    @property
+    def minc(self):
+        return int(self.t.minc[self.i])
+
+
+class _JobTable:
+    """Columnar job store (struct-of-arrays). The per-job dataclass loop
+    was a top host cost (~80k _Job objects + 500k list appends per run);
+    fast-path elections now append whole column blocks and the dispatch/
+    collect paths read/write columns directly."""
+
+    _FIELDS = ("group_id", "is_left", "left_mode", "tmpl_read", "tmpl_pair",
+               "job_len", "flat_start", "k")
+
+    def __init__(self):
+        self._chunks = []      # tuples of per-field arrays, in _FIELDS order
+        self._n = 0
+        self._cols = None
+        self.members = {}      # slow ji -> (members_reads, len_diffs)
+        self.diff = None       # int64 [n] results
+        self.minc = None
+        self._seqbufs = []     # (ds, dq) dense row buffers
+        self._buf = None       # int32 [n] buffer id, -1 = override/missing
+        self._row = None
+        self._ovr = {}         # ji -> (seq_row, qual_row)
+
+    def __len__(self):
+        return self._n
+
+    def __getitem__(self, ji):
+        return _JobView(self, int(ji))
+
+    def append_fast_block(self, group_ids, is_left, tmpl_read, tmpl_pair,
+                          job_len, flat_start, k) -> int:
+        """Append m fast jobs (left_read_mode=True) in one block; returns
+        the base job id (ids are base..base+m-1)."""
+        m = len(group_ids)
+        self._chunks.append((
+            np.asarray(group_ids, dtype=np.int64),
+            np.full(m, bool(is_left)),
+            np.ones(m, dtype=bool),
+            np.asarray(tmpl_read, dtype=np.int64),
+            np.asarray(tmpl_pair, dtype=np.int64),
+            np.asarray(job_len, dtype=np.int64),
+            np.asarray(flat_start, dtype=np.int64),
+            np.asarray(k, dtype=np.int64)))
+        base = self._n
+        self._n += m
+        self._cols = None
+        return base
+
+    def append_job(self, job: "_Job") -> int:
+        """Append one slow job (explicit member lists)."""
+        base = self._n
+        self._chunks.append((
+            np.array([job.group_id], dtype=np.int64),
+            np.array([job.is_left_side]),
+            np.array([job.left_read_mode]),
+            np.array([job.template_read], dtype=np.int64),
+            np.array([job.template_pair], dtype=np.int64),
+            np.array([job.job_len], dtype=np.int64),
+            np.array([-1], dtype=np.int64),
+            np.array([job.k], dtype=np.int64)))
+        self.members[base] = (job.members_reads, job.len_diffs)
+        self._n += 1
+        self._cols = None
+        return base
+
+    def col(self, name: str) -> np.ndarray:
+        if self._cols is None:
+            if self._chunks:
+                self._cols = tuple(np.concatenate([c[i] for c in self._chunks])
+                                   for i in range(len(self._FIELDS)))
+            else:
+                self._cols = tuple(
+                    np.zeros(0, dtype=bool if f in ("is_left", "left_mode")
+                             else np.int64) for f in self._FIELDS)
+        return self._cols[self._FIELDS.index(name)]
+
+    # ---- results ----
+    def alloc_results(self):
+        if self.diff is None or len(self.diff) != self._n:
+            self.diff = np.zeros(self._n, dtype=np.int64)
+            self.minc = np.zeros(self._n, dtype=np.int64)
+            self._buf = np.full(self._n, -1, dtype=np.int32)
+            self._row = np.zeros(self._n, dtype=np.int32)
+
+    def add_buffer(self, ds, dq) -> int:
+        self._seqbufs.append((ds, dq))
+        return len(self._seqbufs) - 1
+
+    def set_rows(self, jids, buf_id: int, rows):
+        self._buf[jids] = buf_id
+        self._row[jids] = rows
+
+    def set_override(self, ji, seq_row, qual_row, diff, minc):
+        ji = int(ji)
+        self._ovr[ji] = (seq_row, qual_row)
+        self._buf[ji] = -1
+        self.diff[ji] = diff
+        self.minc[ji] = minc
+
+    def new_seq(self, ji) -> np.ndarray:
+        o = self._ovr.get(int(ji))
+        if o is not None:
+            return o[0]
+        return self._seqbufs[self._buf[ji]][0][self._row[ji]]
+
+    def new_qual(self, ji) -> np.ndarray:
+        o = self._ovr.get(int(ji))
+        if o is not None:
+            return o[1]
+        return self._seqbufs[self._buf[ji]][1][self._row[ji]]
+
+
 @dataclass
 class _Dispatched:
     """State handed from run_dispatch to run_collect. `done` short-circuits
@@ -421,7 +598,7 @@ class VectorEngine:
             g_single = (g_sizes == 1) & ~has_right[first_pair]
 
         # ---- election ----
-        jobs: list = []
+        jobs = _JobTable()
         side_jobs = {}
         flats = {}
         with _T("election"):
@@ -629,14 +806,14 @@ class VectorEngine:
         tmpl_member = np.clip(tmpl_member, 0, max(len(side_read) - 1, 0))
         tmpl_read = side_read[tmpl_member]
         tmpl_pair = mem_pairs[tmpl_member]
-        for gi in np.nonzero(ok)[0]:
-            tr = int(tmpl_read[gi])
-            jobs.append(_Job(group_id=int(gi), is_left_side=is_left,
-                             left_read_mode=True, template_read=tr,
-                             template_pair=int(tmpl_pair[gi]),
-                             job_len=int(batch.l_qseq[tr]),
-                             flat_start=int(flat_ptr[gi]), k=int(counts[gi])))
-            side_job[gi] = len(jobs) - 1
+        oki = np.nonzero(ok)[0]
+        if len(oki):
+            tr = tmpl_read[oki]
+            base = jobs.append_fast_block(
+                oki, is_left, tr, tmpl_pair[oki],
+                batch.l_qseq[tr].astype(np.int64),
+                flat_ptr[oki], counts[oki])
+            side_job[oki] = base + np.arange(len(oki), dtype=np.int64)
 
         for gi in np.nonzero(~fast & (n_present > 0) & ~g_single)[0]:
             lo, hi = int(g_start[gi]), int(g_start[gi + 1])
@@ -645,8 +822,7 @@ class VectorEngine:
                                           [int(mem_pairs[m]) for m in range(lo, hi)],
                                           batch)
             if job is not None:
-                jobs.append(job)
-                side_job[gi] = len(jobs) - 1
+                side_job[gi] = jobs.append_job(job)
         return side_job, flat_rows
 
     # ------------------------------------------------------------------
@@ -886,9 +1062,8 @@ class VectorEngine:
         out = np.zeros((J, L), dtype=np.uint8)
         if self._genome is None or J == 0:
             return out
-        tmpl = np.fromiter((j.template_read for j in jobs), dtype=np.int64,
-                           count=J)
-        jlen = np.fromiter((j.job_len for j in jobs), dtype=np.int64, count=J)
+        tmpl = jobs.col("tmpl_read")
+        jlen = jobs.col("job_len")
         need = ((batch.isize[tmpl] != 0) & (batch.n_cigar[tmpl] != 0)
                 & (jlen > 0))
         if not need.any():
@@ -968,8 +1143,8 @@ class VectorEngine:
         Returns a device [J2, L] uint8 array (J2 = J padded pow2)."""
         L = self.work.L
         J = len(jobs)
-        tmpl = np.fromiter((j.template_read for j in jobs), np.int64, J)
-        jlen = np.fromiter((j.job_len for j in jobs), np.int64, J)
+        tmpl = jobs.col("tmpl_read")
+        jlen = jobs.col("job_len")
         need = ((batch.isize[tmpl] != 0) & (batch.n_cigar[tmpl] != 0)
                 & (jlen > 0))
         gpos = np.zeros(J, dtype=np.int32)
@@ -1056,51 +1231,51 @@ class VectorEngine:
                 refbase_dev = self._refbase_device(jobs, batch, ct, work)
             else:
                 refbase_all = self._refbase_all(jobs, batch, ct, work)
-        buckets: dict = {}
-        for ji, job in enumerate(jobs):
-            kb = _next_pow2(max(job.k, 1))
-            buckets.setdefault(kb, []).append(ji)
+        nj = len(jobs)
+        k_col = jobs.col("k")
+        fs_col = jobs.col("flat_start")
+        side_col = jobs.col("is_left")
+        jl_col = jobs.col("job_len")
+        # next_pow2 per job, vectorized (bit-smear)
+        kb_col = np.maximum(k_col, 1) - 1
+        for s in (1, 2, 4, 8, 16, 32):
+            kb_col |= kb_col >> s
+        kb_col += 1
 
         _T = self.timer.stage
         pending = []
-        for kb, jlist in sorted(buckets.items()):
+        for kb in np.unique(kb_col) if nj else ():
+            jlist = np.nonzero(kb_col == kb)[0]
+            kb = int(kb)
             J = len(jlist)
             J2 = _next_pow2(max(J, 1)) if self._pad_shapes else J
             rows = np.full((J2, kb), work.dummy_row, dtype=np.int32)
             shifts = np.zeros((J2, kb), dtype=np.int32)
             valid = np.zeros((J2, kb), dtype=bool)
             jl_arr = np.zeros(J2, dtype=np.int32)
-            jl_arr[:J] = np.array([jobs[ji].job_len for ji in jlist], dtype=np.int32)
-            fast_jj = []
-            fast_k = []
-            fast_fs = []
-            fast_side = []
+            jl_arr[:J] = jl_col[jlist]
+            fmask = fs_col[jlist] >= 0
             shifted_jj = []
-            for jj, ji in enumerate(jlist):
-                job = jobs[ji]
-                if job.flat_start >= 0:
-                    fast_jj.append(jj)
-                    fast_k.append(job.k)
-                    fast_fs.append(job.flat_start)
-                    fast_side.append(job.is_left_side)
-                else:
-                    any_shift = False
-                    for k, rj in enumerate(job.members_reads):
-                        rows[jj, k] = work.row_of_one(rj)
-                        valid[jj, k] = True
-                        if not job.left_read_mode:
-                            d = job.len_diffs[k]
-                            # collected members are never shorter than the
-                            # template (group.cpp:309), so d >= 0
-                            shifts[jj, k] = max(d, 0)
-                            any_shift = any_shift or d > 0
-                    if any_shift:
-                        shifted_jj.append(jj)
-            if fast_jj:
-                jj_arr = np.asarray(fast_jj)
-                k_arr = np.asarray(fast_k)
-                fs_arr = np.asarray(fast_fs)
-                side_arr = np.asarray(fast_side)
+            for jj in np.nonzero(~fmask)[0]:
+                job = jobs[int(jlist[jj])]
+                any_shift = False
+                for k, rj in enumerate(job.members_reads):
+                    rows[jj, k] = work.row_of_one(rj)
+                    valid[jj, k] = True
+                    if not job.left_read_mode:
+                        d = job.len_diffs[k]
+                        # collected members are never shorter than the
+                        # template (group.cpp:309), so d >= 0
+                        shifts[jj, k] = max(d, 0)
+                        any_shift = any_shift or d > 0
+                if any_shift:
+                    shifted_jj.append(int(jj))
+            if fmask.any():
+                jj_arr = np.nonzero(fmask)[0]
+                sel_ji = jlist[jj_arr]
+                k_arr = k_col[sel_ji]
+                fs_arr = fs_col[sel_ji]
+                side_arr = side_col[sel_ji]
                 tot = int(k_arr.sum())
                 jrep = np.repeat(jj_arr, k_arr)
                 krep = np.arange(tot) - np.repeat(
@@ -1217,36 +1392,35 @@ class VectorEngine:
             for _, outs, _ in plains:
                 _jx.block_until_ready(outs)
             return
+        jobs.alloc_results()
         if sparse:
             with _T("vote.sync"):
                 ds, dq, df, mc = self._sparse_collect(packed)
+            buf = jobs.add_buffer(ds, dq)
             off = 0
             for jlist, outs, ov in packed:
                 j2 = outs.enc[2].shape[0]
-                for jj, ji in enumerate(jlist):
-                    job = jobs[ji]
-                    if ov is not None and jj in ov:
-                        pse, q, dd, m = ov[jj]
-                        job.new_seq = _unpack_nibbles(pse[None])[0]
-                        job.new_qual = np.array(q)
-                        job.diff = dd
-                        job.minc = m
-                    else:
-                        job.new_seq = ds[off + jj]
-                        job.new_qual = dq[off + jj]
-                        job.diff = int(df[off + jj])
-                        job.minc = int(mc[off + jj])
+                jl = np.asarray(jlist)
+                m = len(jl)
+                jobs.diff[jl] = df[off:off + m]
+                jobs.minc[jl] = mc[off:off + m]
+                jobs.set_rows(jl, buf, off + np.arange(m, dtype=np.int32))
+                if ov is not None:
+                    for jj, (pse, q, dd, mi) in ov.items():
+                        jobs.set_override(jl[jj],
+                                          _unpack_nibbles(pse[None])[0],
+                                          np.array(q), dd, mi)
                 off += j2
             for jlist, outs, _ in plains:
                 with _T("vote.sync"):
                     new_seq, new_qual = np.array(outs[0]), np.array(outs[1])
                     diff, minc = np.asarray(outs[2]), np.asarray(outs[3])
-                for jj, ji in enumerate(jlist):
-                    job = jobs[ji]
-                    job.new_seq = new_seq[jj]
-                    job.new_qual = new_qual[jj]
-                    job.diff = int(diff[jj])
-                    job.minc = int(minc[jj])
+                jl = np.asarray(jlist)
+                m = len(jl)
+                pbuf = jobs.add_buffer(new_seq, new_qual)
+                jobs.diff[jl] = diff[:m]
+                jobs.minc[jl] = minc[:m]
+                jobs.set_rows(jl, pbuf, np.arange(m, dtype=np.int32))
             return
         if packed:
             with _T("vote.sync"):
@@ -1287,33 +1461,31 @@ class VectorEngine:
                 ds = native.unpack_nib_dense(ps, _IDENT16)
                 if ds is None:
                     ds = _unpack_nibbles(ps)
+            buf = jobs.add_buffer(ds, dq)
             off = 0
             for jlist, outs, ov in packed:
                 j2 = outs.dev_out[0].shape[0]
-                for jj, ji in enumerate(jlist):
-                    job = jobs[ji]
-                    if ov is not None and jj in ov:
-                        pse, q, dd, m = ov[jj]
-                        job.new_seq = _unpack_nibbles(pse[None])[0]
-                        job.new_qual = np.array(q)
-                        job.diff = dd
-                        job.minc = m
-                    else:
-                        job.new_seq = ds[off + jj]
-                        job.new_qual = dq[off + jj]
-                        job.diff = int(df[off + jj])
-                        job.minc = int(mc[off + jj])
+                jl = np.asarray(jlist)
+                m = len(jl)
+                jobs.diff[jl] = df[off:off + m]
+                jobs.minc[jl] = mc[off:off + m]
+                jobs.set_rows(jl, buf, off + np.arange(m, dtype=np.int32))
+                if ov is not None:
+                    for jj, (pse, q, dd, mi) in ov.items():
+                        jobs.set_override(jl[jj],
+                                          _unpack_nibbles(pse[None])[0],
+                                          np.array(q), dd, mi)
                 off += j2
         for jlist, outs, _ in plains:
             with _T("vote.sync"):
                 new_seq, new_qual = np.array(outs[0]), np.array(outs[1])
                 diff, minc = np.asarray(outs[2]), np.asarray(outs[3])
-            for jj, ji in enumerate(jlist):
-                job = jobs[ji]
-                job.new_seq = new_seq[jj]
-                job.new_qual = new_qual[jj]
-                job.diff = int(diff[jj])
-                job.minc = int(minc[jj])
+            jl = np.asarray(jlist)
+            m = len(jl)
+            pbuf = jobs.add_buffer(new_seq, new_qual)
+            jobs.diff[jl] = diff[:m]
+            jobs.minc[jl] = minc[:m]
+            jobs.set_rows(jl, pbuf, np.arange(m, dtype=np.int32))
 
     def _sparse_collect(self, packed):
         """Decode the sparse wire encoding for all buckets of one window:
@@ -1526,11 +1698,12 @@ class VectorEngine:
         lj = side_jobs[True]
         rj = side_jobs[False]
         njobs = len(jobs)
-        job_tr = np.fromiter((j.template_read for j in jobs), np.int64, njobs)
-        job_minc = np.fromiter((j.minc for j in jobs), np.int64, njobs)
         if njobs == 0:  # all groups single / elections abandoned
             job_tr = np.full(1, -1, dtype=np.int64)
             job_minc = np.zeros(1, dtype=np.int64)
+        else:
+            job_tr = jobs.col("tmpl_read")
+            job_minc = jobs.minc
         single = g_single
         first_pair = mem_pairs[g_start[:-1]]
         l_ex = np.where(single, True, lj >= 0)
@@ -1621,10 +1794,10 @@ class VectorEngine:
                 return
             jid = lj[gi]
             if jid >= 0:
-                job = jobs[jid]
-                n = int(lq[job.template_read])
-                r = OutRead(batch, job.template_read,
-                            seq=job.new_seq[:n], qual=job.new_qual[:n])
+                tr = int(job_tr[jid])
+                n = int(lq[tr])
+                r = OutRead(batch, tr, seq=jobs.new_seq(jid)[:n],
+                            qual=jobs.new_qual(jid)[:n])
                 r.qname_rec = int(qrec_l[gi])
                 if nm_l[gi] >= 0:
                     r.nm_new = int(nm_l[gi])
@@ -1634,10 +1807,10 @@ class VectorEngine:
                 out_append(r)
             jid = rj[gi]
             if jid >= 0:
-                job = jobs[jid]
-                n = int(lq[job.template_read])
-                r = OutRead(batch, job.template_read,
-                            seq=job.new_seq[:n], qual=job.new_qual[:n])
+                tr = int(job_tr[jid])
+                n = int(lq[tr])
+                r = OutRead(batch, tr, seq=jobs.new_seq(jid)[:n],
+                            qual=jobs.new_qual(jid)[:n])
                 r.qname_rec = int(qrec_r[gi])
                 if nm_r[gi] >= 0:
                     r.nm_new = int(nm_r[gi])
