@@ -84,18 +84,107 @@ class OutRead:
         return padded_qname_len(len(self.qname))
 
 
+class OutBlock:
+    """Columnar run of output records (the vectorized emission path):
+    equal-length arrays, with consensus seq/qual referenced as rows of
+    shared dense buffers instead of per-record views. nm_new/fr_tag use
+    -1 for 'absent' (real values are 0..255). buf -1 = raw copy unless
+    the local position appears in `ovr` (materialized row pairs)."""
+
+    __slots__ = ("rec", "qname_rec", "nm_new", "fr_tag", "serial",
+                 "bufs", "buf", "row", "ovr")
+
+    def __init__(self, rec, qname_rec, nm_new, fr_tag, serial, bufs,
+                 buf, row):
+        self.rec = rec
+        self.qname_rec = qname_rec
+        self.nm_new = nm_new
+        self.fr_tag = fr_tag
+        self.serial = serial
+        self.bufs = bufs          # list of (seq2d, qual2d)
+        self.buf = buf            # int per entry, -1 = raw/override
+        self.row = row
+        self.ovr = {}             # local pos -> (seq_row, qual_row)
+
+
 class OutputTable:
-    """Sorted columnar output set; builds the BAM payload in one pass."""
+    """Sorted columnar output set; builds the BAM payload in one pass.
+
+    Internally fully columnar: OutRead entries (scalar paths) are folded
+    into the same column arrays as OutBlock runs, so the payload builders
+    never walk per-entry python objects."""
 
     def __init__(self, batch, entries: list, nm_vals: np.ndarray,
                  nm_patch_off: np.ndarray):
-        """entries: list of OutRead in emission order (each with .serial
-        already set); nm_vals/nm_patch_off: per-input-record NM value and
-        byte offset of the 1-byte 'C' NM value in the payload (-1 when not
-        patchable)."""
+        """entries: OutRead and/or OutBlock items in emission order (each
+        with .serial already set); nm_vals/nm_patch_off: per-input-record
+        NM value and byte offset of the 1-byte 'C' NM value in the
+        payload (-1 when not patchable)."""
         self.batch = batch
-        rec = np.array([e.rec for e in entries], dtype=np.int64)
-        serial = np.array([e.serial for e in entries], dtype=np.int64)
+        recs = []
+        serials = []
+        qrecs = []
+        nms = []
+        frs = []
+        rrs = []
+        bufids = []
+        rows = []
+        bufs = []
+        bufmap = {}
+        ovr = {}
+        pos = 0
+        for e in entries:
+            if isinstance(e, OutBlock):
+                m = len(e.rec)
+                recs.append(np.asarray(e.rec, dtype=np.int64))
+                serials.append(np.asarray(e.serial, dtype=np.int64))
+                qrecs.append(np.asarray(e.qname_rec, dtype=np.int64))
+                nms.append(np.asarray(e.nm_new, dtype=np.int64))
+                frs.append(np.asarray(e.fr_tag, dtype=np.int64))
+                rrs.append(np.full(m, -1, dtype=np.int64))
+                bi = np.full(m, -1, dtype=np.int64)
+                eb = np.asarray(e.buf, dtype=np.int64)
+                has = eb >= 0
+                if has.any():
+                    lut = np.full(len(e.bufs), -1, dtype=np.int64)
+                    for k, b2 in enumerate(e.bufs):
+                        key = id(b2[0])
+                        g = bufmap.get(key)
+                        if g is None:
+                            g = len(bufs)
+                            bufs.append(b2)
+                            bufmap[key] = g
+                        lut[k] = g
+                    bi[has] = lut[eb[has]]
+                bufids.append(bi)
+                rows.append(np.asarray(e.row, dtype=np.int64))
+                for lp, sq in e.ovr.items():
+                    ovr[pos + lp] = sq
+                    bi[lp] = -1
+                pos += m
+            else:
+                recs.append(np.array([e.rec], dtype=np.int64))
+                serials.append(np.array([e.serial], dtype=np.int64))
+                qrecs.append(np.array([e.qname_rec], dtype=np.int64))
+                nms.append(np.array(
+                    [-1 if e.nm_new is None else e.nm_new], dtype=np.int64))
+                frs.append(np.array(
+                    [-1 if e.fr_tag is None else e.fr_tag], dtype=np.int64))
+                rrs.append(np.array(
+                    [-1 if e.rr_tag is None else e.rr_tag], dtype=np.int64))
+                bufids.append(np.array([-1], dtype=np.int64))
+                rows.append(np.array([0], dtype=np.int64))
+                if e._seq is not None:
+                    ovr[pos] = (e._seq, e._qual)
+                pos += 1
+
+        def cat(parts):
+            return (np.concatenate(parts) if parts
+                    else np.zeros(0, dtype=np.int64))
+
+        rec = cat(recs)
+        serial = cat(serials)
+        self.n = len(rec)
         # bamComp order (gencore.h:19-47): tid,pos,mtid,mpos,isize, then
         # insertion order standing in for the pointer tie-break
         tids = batch.tid[rec].astype(np.int64)
@@ -104,20 +193,44 @@ class OutputTable:
                             batch.mpos[rec].astype(np.int64),
                             batch.mtid[rec].astype(np.int64),
                             batch.pos[rec].astype(np.int64), sort_tid))
-        self.entries = [entries[i] for i in order]
         self.rec = rec[order]
-        self.n = len(entries)
+        self._qrec = cat(qrecs)[order]
+        self._nm = cat(nms)[order]
+        self._fr = cat(frs)[order]
+        self._rr = cat(rrs)[order]
+        self._buf = cat(bufids)[order]
+        self._rowi = cat(rows)[order]
+        self._bufs = bufs
+        inv = np.empty(self.n, dtype=np.int64)
+        inv[order] = np.arange(self.n, dtype=np.int64)
+        self._ovr = {int(inv[i]): sq for i, sq in ovr.items()}
+        self._edited = self._buf >= 0
+        for i in self._ovr:
+            self._edited[i] = True
         self.nm_vals = nm_vals
         self.nm_patch_off = nm_patch_off
         self._payload = None
         self._doff = None
 
+    def _edit_of(self, i: int):
+        """(seq_row, qual_row) for an edited entry, None for raw copies.
+        Buffer rows are sliced to the record's read length."""
+        o = self._ovr.get(i)
+        if o is not None:
+            return o
+        bi = int(self._buf[i])
+        if bi < 0:
+            return None
+        sb, qb = self._bufs[bi]
+        r = int(self._rowi[i])
+        n = int(self.batch.l_qseq[self.rec[i]])
+        return sb[r][:n], qb[r][:n]
+
     # --- stats surface ---
     def stats_arrays(self):
         rec = self.rec
         b = self.batch
-        nm = np.array([(e.nm_new if e.nm_new is not None else self.nm_vals[e.rec])
-                       for e in self.entries], dtype=np.int64)
+        nm = np.where(self._nm >= 0, self._nm, self.nm_vals[rec])
         return (b.tid[rec].astype(np.int64), b.pos[rec].astype(np.int64),
                 b.l_qseq[rec].astype(np.int64), nm)
 
@@ -144,16 +257,45 @@ class OutputTable:
         n_cigar = b.n_cigar[rec].astype(np.int64)
         seqbytes = (l_qseq + 1) >> 1
         aux_len = b.end[rec] - b.aux_off[rec]
-        qrec = np.array([e.qname_rec for e in self.entries], dtype=np.int64)
+        qrec = self._qrec
         qname_len = b.l_read_name[qrec].astype(np.int64)
-        has_fr = np.array([e.fr_tag is not None for e in self.entries])
-        has_rr = np.array([e.rr_tag is not None for e in self.entries])
+        has_fr = self._fr >= 0
+        has_rr = self._rr >= 0
         tag_len = has_fr * 4 + has_rr * 4
         body_len = 32 + qname_len + 4 * n_cigar + seqbytes + l_qseq + aux_len + tag_len
         doff = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(body_len + 4, out=doff[1:])
         return (rec, l_qseq, n_cigar, seqbytes, aux_len, qrec, qname_len,
                 has_fr, has_rr, tag_len, body_len, doff)
+
+    def _edited_matrices(self, esel: np.ndarray, l_qseq: np.ndarray):
+        """Dense (seq, qual) matrices for the edited entries `esel`:
+        one fancy gather per shared buffer, python only for the few
+        scalar-path overrides. Seq columns beyond each row's read length
+        are zeroed (the odd-length last nibble must pack as 0)."""
+        lq = l_qseq[esel]
+        lmax = int(lq.max())
+        bmax = (lmax + 1) // 2
+        m = np.zeros((len(esel), bmax * 2), dtype=np.uint8)
+        q = np.zeros((len(esel), lmax), dtype=np.uint8)
+        bsel = self._buf[esel]
+        for g in np.unique(bsel[bsel >= 0]):
+            mask = bsel == g
+            sb, qb = self._bufs[g]
+            r = self._rowi[esel[mask]]
+            w = min(sb.shape[1], bmax * 2)
+            m[mask, :w] = sb[r][:, :w]
+            wq = min(qb.shape[1], lmax)
+            q[mask, :wq] = qb[r][:, :wq]
+        for row in np.nonzero(bsel < 0)[0]:
+            s, qq = self._ovr[int(esel[row])]
+            m[row, :len(s)] = s
+            q[row, :len(qq)] = qq
+        # zero the tail beyond each row's length (buffer rows carry the
+        # template's full-width content)
+        cols = np.arange(bmax * 2, dtype=np.int64)[None, :]
+        m[cols >= lq[:, None]] = 0
+        return m, q
 
     def _build_payload_native(self, native) -> np.ndarray:
         """Fast path: whole-body memcpy per record + targeted overwrites.
@@ -193,26 +335,19 @@ class OutputTable:
         cg_dst = body + 32 + qname_len
         seq_dst = cg_dst + 4 * n_cigar
         qual_dst = seq_dst + seqbytes
-        edited = np.array([e._seq is not None for e in self.entries])
+        edited = self._edited
         esel = np.nonzero(edited & ~shifted)[0]
         if len(esel):
-            lmax = int(l_qseq[esel].max())
-            bmax = (lmax + 1) // 2
-            m = np.zeros((len(esel), bmax * 2), dtype=np.uint8)
-            q = np.zeros((len(esel), lmax), dtype=np.uint8)
-            for row, ei in enumerate(esel):
-                e = self.entries[ei]
-                m[row, :len(e._seq)] = e._seq
-                q[row, :len(e._qual)] = e._qual
+            m, q = self._edited_matrices(esel, l_qseq)
             native.pack_seq_rows(m, l_qseq[esel], out, seq_dst[esel])
             native.gather_slices(q.reshape(-1),
-                                 np.arange(len(esel), dtype=np.int64) * lmax,
+                                 np.arange(len(esel), dtype=np.int64)
+                                 * q.shape[1],
                                  l_qseq[esel], out, qual_dst[esel])
 
         # NM byte patches
         aux_dst = qual_dst + l_qseq
-        nm_new = np.array([(-1 if e.nm_new is None else e.nm_new)
-                           for e in self.entries], dtype=np.int64)
+        nm_new = self._nm
         patch = (nm_new >= 0) & (self.nm_patch_off[rec] >= 0) & ~shifted
         if patch.any():
             sel = np.nonzero(patch)[0]
@@ -233,16 +368,16 @@ class OutputTable:
     def _write_tags(self, out, tag_dst, has_fr, has_rr):
         if has_fr.any():
             sel = np.nonzero(has_fr)[0]
-            vals = np.array([self.entries[i].fr_tag for i in sel], dtype=np.int64)
+            vals = self._fr[sel]
             out[tag_dst[sel]] = ord("F")
             out[tag_dst[sel] + 1] = ord("R")
             out[tag_dst[sel] + 2] = ord("C")
             out[tag_dst[sel] + 3] = (vals & 0xFF).astype(np.uint8)
         if has_rr.any():
             sel = np.nonzero(has_rr)[0]
-            fr_here = np.array([self.entries[i].fr_tag is not None for i in sel])
+            fr_here = self._fr[sel] >= 0
             base = tag_dst[sel] + np.where(fr_here, 4, 0)
-            vals = np.array([self.entries[i].rr_tag for i in sel], dtype=np.int64)
+            vals = self._rr[sel]
             out[base] = ord("R")
             out[base + 1] = ord("R")
             out[base + 2] = ord("C")
@@ -252,29 +387,30 @@ class OutputTable:
         """Single-record assembly (layout-shifted records)."""
         import struct
         b = self.batch
-        e = self.entries[i]
-        rec = e.rec
-        qname = b.data[b.qname_off[e.qname_rec]:
-                       b.qname_off[e.qname_rec] + b.l_read_name[e.qname_rec]].tobytes()
+        rec = int(self.rec[i])
+        qr = int(self._qrec[i])
+        qname = b.data[b.qname_off[qr]:
+                       b.qname_off[qr] + b.l_read_name[qr]].tobytes()
         fixed = bytearray(b.data[b.off[rec]:b.off[rec] + 32].tobytes())
         fixed[8] = len(qname)
         cigar = b.data[b.cigar_off[rec]:b.seq_off[rec]].tobytes()
-        l = int(b.l_qseq[rec])
-        if e._seq is not None:
+        edit = self._edit_of(i)
+        if edit is not None:
             from gencore_tpu.io.bam import pack_seq
-            seqb = pack_seq(e._seq).tobytes()
-            qualb = np.asarray(e._qual, dtype=np.uint8).tobytes()
+            seqb = pack_seq(edit[0]).tobytes()
+            qualb = np.asarray(edit[1], dtype=np.uint8).tobytes()
         else:
             seqb = b.data[b.seq_off[rec]:b.qual_off[rec]].tobytes()
             qualb = b.data[b.qual_off[rec]:b.aux_off[rec]].tobytes()
         aux = bytearray(b.data[b.aux_off[rec]:b.end[rec]].tobytes())
-        if e.nm_new is not None and self.nm_patch_off[rec] >= 0:
-            aux[int(self.nm_patch_off[rec] - b.aux_off[rec])] = e.nm_new & 0xFF
+        if self._nm[i] >= 0 and self.nm_patch_off[rec] >= 0:
+            aux[int(self.nm_patch_off[rec] - b.aux_off[rec])] = \
+                int(self._nm[i]) & 0xFF
         tags = b""
-        if e.fr_tag is not None:
-            tags += b"FRC" + bytes([e.fr_tag & 0xFF])
-        if e.rr_tag is not None:
-            tags += b"RRC" + bytes([e.rr_tag & 0xFF])
+        if self._fr[i] >= 0:
+            tags += b"FRC" + bytes([int(self._fr[i]) & 0xFF])
+        if self._rr[i] >= 0:
+            tags += b"RRC" + bytes([int(self._rr[i]) & 0xFF])
         bodyb = bytes(fixed) + qname + cigar + seqb + qualb + bytes(aux) + tags
         blob = struct.pack("<i", len(bodyb)) + bodyb
         out[doff_i:doff_i + len(blob)] = np.frombuffer(blob, dtype=np.uint8)
@@ -293,10 +429,10 @@ class OutputTable:
         aux_off = b.aux_off[rec]
         aux_len = orig_end - aux_off
 
-        qrec = np.array([e.qname_rec for e in self.entries], dtype=np.int64)
+        qrec = self._qrec
         qname_len = b.l_read_name[qrec].astype(np.int64)  # incl NUL
-        has_fr = np.array([e.fr_tag is not None for e in self.entries])
-        has_rr = np.array([e.rr_tag is not None for e in self.entries])
+        has_fr = self._fr >= 0
+        has_rr = self._rr >= 0
         tag_len = has_fr * 4 + has_rr * 4
 
         body_len = 32 + qname_len + 4 * n_cigar + seqbytes + l_qseq + aux_len + tag_len
@@ -332,25 +468,11 @@ class OutputTable:
         # seq: packed from final codes (matrix scatter for edited rows,
         # raw copy otherwise)
         seq_dst = cg_dst + cg_len
-        edited = np.array([e._seq is not None for e in self.entries])
+        edited = self._edited
         if (~edited).any():
             sel = np.nonzero(~edited)[0]
             out[multi_slice_indices(seq_dst[sel], seqbytes[sel])] = \
                 src[multi_slice_indices(b.seq_off[rec[sel]], seqbytes[sel])]
-        if edited.any():
-            sel = np.nonzero(edited)[0]
-            lmax = int(l_qseq[sel].max())
-            bmax = (lmax + 1) // 2
-            m = np.zeros((len(sel), bmax * 2), dtype=np.uint8)
-            for row, ei in enumerate(sel):
-                s = self.entries[ei]._seq
-                m[row, :len(s)] = s
-            packed = (m[:, 0::2] << 4) | m[:, 1::2]
-            pi = multi_slice_indices(
-                np.arange(len(sel), dtype=np.int64) * bmax, seqbytes[sel])
-            out[multi_slice_indices(seq_dst[sel], seqbytes[sel])] = packed.ravel()[pi]
-
-        # qual
         qual_dst = seq_dst + seqbytes
         if (~edited).any():
             sel = np.nonzero(~edited)[0]
@@ -358,21 +480,21 @@ class OutputTable:
                 src[multi_slice_indices(b.qual_off[rec[sel]], l_qseq[sel])]
         if edited.any():
             sel = np.nonzero(edited)[0]
-            lmax = int(l_qseq[sel].max())
-            m = np.zeros((len(sel), lmax), dtype=np.uint8)
-            for row, ei in enumerate(sel):
-                q = self.entries[ei]._qual
-                m[row, :len(q)] = q
+            m, q = self._edited_matrices(sel, l_qseq)
+            bmax = m.shape[1] // 2
+            packed = (m[:, 0::2] << 4) | m[:, 1::2]
             pi = multi_slice_indices(
-                np.arange(len(sel), dtype=np.int64) * lmax, l_qseq[sel])
-            out[multi_slice_indices(qual_dst[sel], l_qseq[sel])] = m.ravel()[pi]
+                np.arange(len(sel), dtype=np.int64) * bmax, seqbytes[sel])
+            out[multi_slice_indices(seq_dst[sel], seqbytes[sel])] = packed.ravel()[pi]
+            pi = multi_slice_indices(
+                np.arange(len(sel), dtype=np.int64) * q.shape[1], l_qseq[sel])
+            out[multi_slice_indices(qual_dst[sel], l_qseq[sel])] = q.ravel()[pi]
 
         # aux blob (original), then NM byte patch, then appended tags
         aux_dst = qual_dst + l_qseq
         out[multi_slice_indices(aux_dst, aux_len)] = \
             src[multi_slice_indices(aux_off, aux_len)]
-        nm_new = np.array([(-1 if e.nm_new is None else e.nm_new)
-                           for e in self.entries], dtype=np.int64)
+        nm_new = self._nm
         patch = (nm_new >= 0) & (self.nm_patch_off[rec] >= 0)
         if patch.any():
             sel = np.nonzero(patch)[0]
@@ -381,21 +503,7 @@ class OutputTable:
 
         # FR / RR tags ('C' typed single byte — pair.cpp:54-68 quirk)
         tag_dst = aux_dst + aux_len
-        if has_fr.any():
-            sel = np.nonzero(has_fr)[0]
-            vals = np.array([self.entries[i].fr_tag for i in sel], dtype=np.int64)
-            out[tag_dst[sel]] = ord("F")
-            out[tag_dst[sel] + 1] = ord("R")
-            out[tag_dst[sel] + 2] = ord("C")
-            out[tag_dst[sel] + 3] = (vals & 0xFF).astype(np.uint8)
-        if has_rr.any():
-            sel = np.nonzero(has_rr)[0]
-            base = tag_dst[sel] + np.where(has_fr[sel], 4, 0)
-            vals = np.array([self.entries[i].rr_tag for i in sel], dtype=np.int64)
-            out[base] = ord("R")
-            out[base + 1] = ord("R")
-            out[base + 2] = ord("C")
-            out[base + 3] = (vals & 0xFF).astype(np.uint8)
+        self._write_tags(out, tag_dst, has_fr, has_rr)
 
         self._payload = out
         return out

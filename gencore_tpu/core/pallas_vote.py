@@ -34,9 +34,12 @@ BINS = (0, 1, 2, 4, 8, 15)  # non-empty bins for =ACGTN data (see kernels.py)
 SENTINEL = 255  # member-absent marker (never matches a bin or refbase)
 
 # sparse wire-encoding caps (see _epilogue): inline seq edits / qual runs
-# per job; jobs exceeding either are pulled densely by the collector
+# per job; jobs exceeding either are pulled densely by the collector.
+# R=12/C=8 keeps the wire at ~46 B/job; typical jobs need <=7 runs
+# (template-constant qual with dips at member error positions) and <=3
+# edits, and the dense fallback covers the tail.
 SPARSE_DIFFS = 8
-SPARSE_RUNS = 16
+SPARSE_RUNS = 12
 
 
 def _vote_block(seq, qual, score, refbase, hi, mod, lo, bsr, rnum, rden):

@@ -30,7 +30,7 @@ from gencore_tpu.core import kernels, umivec
 from gencore_tpu.core.cigartable import CigarTable
 from gencore_tpu.core.grouping import greedy_umi_groups
 from gencore_tpu.core.oracle import OPair, RefLookup
-from gencore_tpu.core.output import OutRead, OutputTable
+from gencore_tpu.core.output import OutBlock, OutRead, OutputTable
 from gencore_tpu.core.postmerge import postprocess_cluster
 from gencore_tpu.io import bam as bamio
 from gencore_tpu.options import Options
@@ -1781,61 +1781,81 @@ class VectorEngine:
 
         # ---- emission in cluster order ----
         lq = batch.l_qseq
-        out_append = out_records.append
+        jbuf = jobs._buf if len(jobs) and jobs._buf is not None \
+            else np.zeros(1, dtype=np.int32)
+        jrow = jobs._row if len(jobs) and jobs._row is not None \
+            else np.zeros(1, dtype=np.int32)
 
-        def emit_vec(gi):
-            fr = int(fr_val[gi])
-            if single[gi]:
-                r = OutRead(batch, int(pl[first_pair[gi]]))
-                r.fr_tag = fr
-                self._serial += 1
-                r.serial = self._serial
-                out_append(r)
-                return
-            jid = lj[gi]
-            if jid >= 0:
-                tr = int(job_tr[jid])
-                n = int(lq[tr])
-                r = OutRead(batch, tr, seq=jobs.new_seq(jid)[:n],
-                            qual=jobs.new_qual(jid)[:n])
-                r.qname_rec = int(qrec_l[gi])
-                if nm_l[gi] >= 0:
-                    r.nm_new = int(nm_l[gi])
-                r.fr_tag = fr
-                self._serial += 1
-                r.serial = self._serial
-                out_append(r)
-            jid = rj[gi]
-            if jid >= 0:
-                tr = int(job_tr[jid])
-                n = int(lq[tr])
-                r = OutRead(batch, tr, seq=jobs.new_seq(jid)[:n],
-                            qual=jobs.new_qual(jid)[:n])
-                r.qname_rec = int(qrec_r[gi])
-                if nm_r[gi] >= 0:
-                    r.nm_new = int(nm_r[gi])
-                r.fr_tag = fr
-                self._serial += 1
-                r.serial = self._serial
-                out_append(r)
+        def emit_block(gis):
+            """Columnar OutBlock for an ascending run of vector groups:
+            per group [single-or-left, right?] in the serial order the
+            per-record loop used to produce."""
+            sing = single[gis]
+            lw = ~sing & (lj[gis] >= 0)
+            rw = ~sing & (rj[gis] >= 0)
+            first_slot = sing | lw
+            cnt = first_slot.astype(np.int64) + rw
+            base = np.zeros(len(gis) + 1, dtype=np.int64)
+            np.cumsum(cnt, out=base[1:])
+            total = int(base[-1])
+            rec = np.zeros(total, dtype=np.int64)
+            qrec = np.zeros(total, dtype=np.int64)
+            nm = np.full(total, -1, dtype=np.int64)
+            fr = np.zeros(total, dtype=np.int64)
+            buf = np.full(total, -1, dtype=np.int64)
+            row = np.zeros(total, dtype=np.int64)
+            sp = base[:-1][sing]
+            srec = pl[first_pair[gis[sing]]]
+            rec[sp] = srec
+            qrec[sp] = srec
+            fr[sp] = fr_val[gis[sing]]
+            lp2 = base[:-1][lw]
+            jidl = lj[gis[lw]]
+            rec[lp2] = job_tr[jidl]
+            qrec[lp2] = qrec_l[gis[lw]]
+            nm[lp2] = nm_l[gis[lw]]
+            fr[lp2] = fr_val[gis[lw]]
+            buf[lp2] = jbuf[jidl]
+            row[lp2] = jrow[jidl]
+            rp2 = (base[:-1] + first_slot)[rw]
+            jidr = rj[gis[rw]]
+            rec[rp2] = job_tr[jidr]
+            qrec[rp2] = qrec_r[gis[rw]]
+            nm[rp2] = nm_r[gis[rw]]
+            fr[rp2] = fr_val[gis[rw]]
+            buf[rp2] = jbuf[jidr]
+            row[rp2] = jrow[jidr]
+            serial = self._serial + 1 + np.arange(total, dtype=np.int64)
+            self._serial += total
+            blk = OutBlock(rec, qrec, nm, fr, serial, jobs._seqbufs,
+                           buf, row)
+            # override jobs carry materialized rows instead of buffer refs
+            for p2, jid in ((lp2, jidl), (rp2, jidr)):
+                for k in np.nonzero(jbuf[jid] < 0)[0]:
+                    ji = int(jid[k])
+                    pp = int(p2[k])
+                    n = int(lq[rec[pp]])
+                    blk.ovr[pp] = (jobs.new_seq(ji)[:n],
+                                   jobs.new_qual(ji)[:n])
+            return blk
 
         vec_emit = np.nonzero(vec_g & emitted & (l_ex | r_ex))[0]
         if not scalar_results:
-            for gi in vec_emit:
-                emit_vec(int(gi))
+            if len(vec_emit):
+                out_records.append(emit_block(vec_emit))
             return
+        # interleave: block runs between scalar clusters, in cluster order
         vec_emit_cl = g_cluster[vec_emit]
         vp = 0
-        nvec = len(vec_emit)
-        for ci in range(nclusters):
-            res = scalar_results.get(ci)
-            if res is not None:
-                for pair in res:
-                    self._emit_pair(pair, out_records)
-            else:
-                while vp < nvec and vec_emit_cl[vp] == ci:
-                    emit_vec(int(vec_emit[vp]))
-                    vp += 1
+        for ci in sorted(scalar_results):
+            hi = int(np.searchsorted(vec_emit_cl, ci))
+            if hi > vp:
+                out_records.append(emit_block(vec_emit[vp:hi]))
+                vp = hi
+            for pair in scalar_results[ci]:
+                self._emit_pair(pair, out_records)
+        if vp < len(vec_emit):
+            out_records.append(emit_block(vec_emit[vp:]))
 
     # ------------------------------------------------------------------
     def _assemble_group(self, gi, pair_ids, is_single, cross_contig,
