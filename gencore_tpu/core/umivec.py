@@ -24,6 +24,22 @@ def umi_spans(qmat: np.ndarray, qlen: np.ndarray, prefix: str):
     n, w = qmat.shape
     if n == 0:
         return (np.zeros(0, dtype=np.int64),) * 2
+
+    # threaded native scan (numpy fallback below is cross-validated
+    # against it in tests)
+    from gencore_tpu.io import native
+    if native.get_lib() is not None:
+        if prefix:
+            pset = np.zeros(256, dtype=np.uint8)
+            for ch in prefix.encode():
+                pset[ch] = 1
+        else:
+            pset = np.zeros(256, dtype=np.uint8)
+        got = native.umi_spans(qmat, qlen, pset, _UMI_CHAR,
+                               1 if prefix else 0)
+        if got is not None:
+            return got
+
     cols = np.arange(w, dtype=np.int64)[None, :]
     in_q = cols < qlen[:, None]
     rows = np.arange(n)

@@ -297,16 +297,29 @@ class VectorEngine:
         self._ipo_cache: dict = {}
         self._cig_cache: dict = {}
         self._refoff_cache: dict = {}
-        # concatenated genome for vectorized ref gathers
+        # concatenated genome for vectorized ref gathers — cached on the
+        # FastaRef keyed by contig order/length so the W window engines
+        # of a pipelined run share one copy instead of building W
         if fasta is not None:
-            lens = [fasta.contig_len(n) for n in header.names]
-            self._contig_len = np.array(lens, dtype=np.int64)
-            self._contig_base = np.zeros(len(lens) + 1, dtype=np.int64)
-            np.cumsum(lens, out=self._contig_base[1:])
-            parts = [fasta.get_contig(n) if fasta.get_contig(n) is not None
-                     else np.zeros(0, dtype=np.uint8) for n in header.names]
-            self._genome = (np.concatenate(parts) if parts
-                            else np.zeros(0, dtype=np.uint8))
+            key = (tuple(header.names), tuple(header.lengths))
+            cache = getattr(fasta, "_gcat_cache", None)
+            if not isinstance(cache, dict):
+                cache = {}
+                fasta._gcat_cache = cache
+            hit = cache.get(key)
+            if hit is None:
+                lens = [fasta.contig_len(n) for n in header.names]
+                clen = np.array(lens, dtype=np.int64)
+                cbase = np.zeros(len(lens) + 1, dtype=np.int64)
+                np.cumsum(lens, out=cbase[1:])
+                parts = [fasta.get_contig(n) if fasta.get_contig(n) is not None
+                         else np.zeros(0, dtype=np.uint8)
+                         for n in header.names]
+                genome = (np.concatenate(parts) if parts
+                          else np.zeros(0, dtype=np.uint8))
+                hit = (clen, cbase, genome)
+                cache[key] = hit
+            self._contig_len, self._contig_base, self._genome = hit
         else:
             self._genome = None
         self._umi_from_mi = False
@@ -645,6 +658,21 @@ class VectorEngine:
                            g_single, g_cross, group_slices, side_jobs, jobs,
                            batch, pl, pr, work, pair_has_umi, c_pair_start,
                            mem_pairs, u_mat, u_start, u_len, out_records))
+
+    def release_run_state(self):
+        """Drop per-run buffers (work matrices, batch reference, caches)
+        after a window's results are consumed. The stats/timer fields the
+        window pipeline merges at the end survive; OutputTable holds its
+        own references to anything the payload build still needs. Without
+        this, a W-window run retains W windows' worth of matrices (the
+        streaming mode's whole point is NOT doing that)."""
+        self.work = None
+        self.batchref = None
+        self._nm_vals = None
+        self._nm_patch = None
+        self._ipo_cache = {}
+        self._cig_cache = {}
+        self._refoff_cache = {}
 
     def run_collect(self, st: "_Dispatched"):
         """Blocking half of a dispatched run: download vote results,

@@ -99,6 +99,12 @@ def get_lib():
     lib.gc_unpack_nib_dense.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                         ctypes.c_int64, ctypes.c_void_p,
                                         ctypes.c_void_p, ctypes.c_int]
+    lib.gc_umi_spans.restype = None
+    lib.gc_umi_spans.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                 ctypes.c_int64, ctypes.c_void_p,
+                                 ctypes.c_void_p, ctypes.c_void_p,
+                                 ctypes.c_int, ctypes.c_void_p,
+                                 ctypes.c_void_p, ctypes.c_int]
     lib.gc_pack2_rows.restype = ctypes.c_int
     lib.gc_pack2_rows.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                   ctypes.c_int64, ctypes.c_void_p,
@@ -302,6 +308,26 @@ def pack_nib_rows(src: np.ndarray, src_off, lens, lut: np.ndarray, pw: int,
                          so.ctypes.data, ln.ctypes.data, n,
                          lut.ctypes.data, out.ctypes.data, pw, 0)
     return out
+
+
+def umi_spans(qmat: np.ndarray, qlen, pset: np.ndarray, umi_ok: np.ndarray,
+              mode: int):
+    """Threaded UMI span scan (see gc_umi_spans). Returns (start, len)
+    int64 arrays or None without the native lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    qmat = np.ascontiguousarray(qmat, dtype=np.uint8)
+    n, w = qmat.shape
+    ql = np.ascontiguousarray(qlen, dtype=np.int64)
+    ps = np.ascontiguousarray(pset, dtype=np.uint8)
+    uo = np.ascontiguousarray(umi_ok, dtype=np.uint8)
+    start = np.empty(n, dtype=np.int64)
+    length = np.empty(n, dtype=np.int64)
+    lib.gc_umi_spans(qmat.ctypes.data, n, w, ql.ctypes.data, ps.ctypes.data,
+                     uo.ctypes.data, mode, start.ctypes.data,
+                     length.ctypes.data, 0)
+    return start, length
 
 
 def pack2_rows(packed: np.ndarray, lens, lut: np.ndarray,

@@ -300,6 +300,11 @@ def run_pipelined(opt: Options, batch: bamio.RecordBatch, header,
                     eng.timer.totals["write"] = (
                         eng.timer.totals.get("write", 0.0)
                         + _time.perf_counter() - tw0)
+                if not warm_only:
+                    # stats/timer survive; matrices and the window's
+                    # payload reference are dropped so peak residency
+                    # stays O(inflight windows), not O(all windows)
+                    eng.release_run_state()
                 if dbg:
                     tc1 = _time.perf_counter()
                     print(f"[pipeline] w{w} collect "

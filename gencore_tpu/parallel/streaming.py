@@ -311,6 +311,7 @@ def run_streaming(opt: Options, path: str, out_path: str,
                                     table._doff[:-1] + 0,
                                     np.diff(table._doff), pay))
                 flush_ready(pending, bounds[w], writer)
+                eng.release_run_state()
             except BaseException as e:
                 err.append(e)
                 return

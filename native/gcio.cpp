@@ -443,6 +443,79 @@ void gc_hist_rows(const uint8_t* src, const int64_t* src_off,
 // LUT-translate per-record byte runs and pack two 4-bit codes per output
 // byte (high nibble first): out[i] is a pw-wide packed row, zero-padded.
 // Used to stage quals as nibble indices for compact device upload.
+// UMI substring spans over a 0-padded qname byte matrix [n, w]
+// (semantics mirror gencore_tpu/core/umivec.py::umi_spans, which mirrors
+// reference bamutil.cpp:23-112). mode 1 = prefix (pset = 256-entry char
+// class of the prefix letters): UMI starts 2 past the LAST prefix char
+// and runs through valid UMI chars; mode 0 = no prefix: everything after
+// the last ':', all chars valid with <= 1 underscore (a leading '_'
+// after the colon is skipped). umi_ok = 256-entry {ATCG_} class.
+void gc_umi_spans(const uint8_t* qmat, int64_t n, int64_t w,
+                  const int64_t* qlen, const uint8_t* pset,
+                  const uint8_t* umi_ok, int mode,
+                  int64_t* start_out, int64_t* len_out, int n_threads) {
+  int nt = hw_threads(n_threads);
+  std::atomic<int64_t> next(0);
+  const int64_t kChunk = 2048;
+  auto worker = [&]() {
+    for (;;) {
+      int64_t lo = next.fetch_add(kChunk);
+      if (lo >= n) break;
+      int64_t hi = std::min(lo + kChunk, n);
+      for (int64_t i = lo; i < hi; ++i) {
+        const uint8_t* q = qmat + i * w;
+        int64_t l = qlen[i];
+        if (l > w) l = w;
+        int64_t start = 0, len = 0;
+        if (mode == 1) {
+          int64_t pos = -1;
+          for (int64_t j = 0; j < l; ++j)
+            if (pset[q[j]]) pos = j;
+          if (pos >= 0) {
+            start = pos + 2;
+            int64_t stop = l;
+            for (int64_t j = start; j < w; ++j) {
+              if (j >= l || !umi_ok[q[j]]) { stop = j; break; }
+            }
+            len = stop - start;
+            if (len < 0) len = 0;  // start may sit past the name end
+          } else {
+            start = 0;
+            len = 0;
+          }
+        } else {
+          int64_t sep = -1;
+          for (int64_t j = 0; j < l; ++j)
+            if (q[j] == ':') sep = j;
+          bool ok = sep >= 0 && sep < l - 1;
+          start = sep + 1;
+          if (ok && start < l - 1 && q[start] == '_') start += 1;
+          if (ok) {
+            int64_t n_us = 0;
+            for (int64_t j = start; j < l; ++j) {
+              if (!umi_ok[q[j]]) { ok = false; break; }
+              if (q[j] == '_') ++n_us;
+            }
+            if (n_us > 1) ok = false;
+          }
+          if (ok) {
+            len = l - start;
+          } else {
+            start = 0;
+            len = 0;
+          }
+        }
+        start_out[i] = start;
+        len_out[i] = len;
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < nt; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& t : threads) t.join();
+}
+
 // Validate + byte-LUT-map rows of nibble-packed data, then pack byte
 // pairs into one byte (two 4-bit items -> four 2-bit items). Row i has
 // lens[i] items (2 per input byte): bytes j < lens/2 must satisfy

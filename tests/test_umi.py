@@ -32,3 +32,27 @@ def test_is_duplex():
     assert is_duplex("CTAG", "CTAG_ATCG") is False
     assert is_duplex("CTAG", "CCCAGG") is False
     assert is_duplex("", "") is False
+
+
+def test_greedy_thousand_distinct_umis_fast():
+    """An ultra-deep cluster with ~1000 distinct UMIs must group in
+    milliseconds (native distance sweep; measured ~8ms best-of-5 on the
+    2-core CI host — the bound leaves headroom for load)."""
+    import time
+
+    import numpy as np
+
+    from gencore_tpu.core.grouping import greedy_umi_groups
+
+    rng = np.random.default_rng(5)
+    bases = "ACGT"
+    umis = ["".join(bases[c] for c in rng.integers(0, 4, 10))
+            for _ in range(1000)] * 3
+    best = 9.0
+    for _ in range(5):
+        t0 = time.perf_counter()
+        groups = greedy_umi_groups(umis, 1)
+        best = min(best, time.perf_counter() - t0)
+    assert len(groups) > 900
+    assert sorted(i for g in groups for i in g) == list(range(3000))
+    assert best < 0.05, f"greedy grouping too slow: {best:.3f}s"
