@@ -33,7 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_data")
 N_FRAGMENTS = int(os.environ.get("GENCORE_BENCH_FRAGMENTS", 40_000))
 DUP_MEAN = 3  # mean duplicates per fragment -> ~40000*3*2 = 240k reads
-N_RUNS = int(os.environ.get("GENCORE_BENCH_RUNS", 3))
+N_RUNS = int(os.environ.get("GENCORE_BENCH_RUNS", 5))
 
 
 def resolve_baseline():

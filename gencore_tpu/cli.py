@@ -135,12 +135,26 @@ def main(argv=None) -> int:
     if plat:
         import jax
         jax.config.update("jax_platforms", plat)
+    # persistent XLA compile cache ON by default: kernel shapes are
+    # bucketed to recur, and remote-attached TPU toolchains compile
+    # slowly enough (~0.4s/HLO op observed) that cold-compiling every
+    # run would dwarf the work. GENCORE_COMPILE_CACHE overrides the
+    # location; GENCORE_COMPILE_CACHE=0 disables.
     cache_dir = os.environ.get("GENCORE_COMPILE_CACHE")
-    if cache_dir:
+    if cache_dir is None:
+        cache_dir = os.path.join(
+            os.environ.get("XDG_CACHE_HOME",
+                           os.path.expanduser("~/.cache")),
+            "gencore_tpu", "jax_cache")
+    if cache_dir and cache_dir != "0":
         import jax
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+        except OSError:
+            pass  # unwritable cache location: run uncached
 
     command = "gencore-tpu " + " ".join(argv)
     t1 = time.time()

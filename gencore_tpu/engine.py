@@ -573,34 +573,73 @@ class VectorEngine:
         pair_has_umi = u_len > 0
 
         # ---- grouping ----
-        seg = c_pair_start
-        uk_min = np.minimum.reduceat(pair_ukey_id, seg)
-        uk_max = np.maximum.reduceat(pair_ukey_id, seg)
-        single_umi = uk_min == uk_max
-
+        # Greedy UMI grouping (cluster.cpp:55-100) as a per-pair group RANK
+        # (the position of the pair's group in the cluster's greedy
+        # creation order) + one stable lexsort — no per-cluster python for
+        # the overwhelming cases: single-UMI clusters rank 0 everywhere,
+        # and two-distinct-UMI clusters (e.g. the duplex A_B / B_A split)
+        # reduce to one vectorized umi_diff against the winner. Only >2
+        # distinct UMIs take the greedy loop.
         with _T0("grouping"):
-            group_slices = []
-            g_cluster_l = []
-            for ci in np.nonzero(single_umi)[0]:
-                group_slices.append(np.arange(c_pair_start[ci], c_pair_end[ci]))
-                g_cluster_l.append(ci)
-            for ci in np.nonzero(~single_umi)[0]:
-                lo, hi = int(c_pair_start[ci]), int(c_pair_end[ci])
-                umis = [umivec.umi_string(u_mat, u_start, u_len, pi)
-                        for pi in range(lo, hi)]
-                for idxs in greedy_umi_groups(umis, int(c_thr[ci])):
-                    group_slices.append(lo + np.asarray(idxs, dtype=np.int64))
-                    g_cluster_l.append(ci)
-            g_cluster_arr = np.asarray(g_cluster_l, dtype=np.int64)
-            order_g = np.argsort(g_cluster_arr, kind="stable")
-            group_slices = [group_slices[i] for i in order_g]
-            g_cluster = g_cluster_arr[order_g]
-            G = len(group_slices)
-            g_sizes = np.array([len(s) for s in group_slices], dtype=np.int64)
-            g_start = np.zeros(G + 1, dtype=np.int64)
-            np.cumsum(g_sizes, out=g_start[1:])
-            mem_pairs = (np.concatenate(group_slices) if G
-                         else np.zeros(0, dtype=np.int64))
+            P = npairs
+            grp_rank = np.zeros(P, dtype=np.int64)
+            if P:
+                U = int(pair_ukey_id.max()) + 1
+                comb = cluster_of_pair * U + pair_ukey_id
+                uniqc, first_idx, cnts = np.unique(
+                    comb, return_index=True, return_counts=True)
+                ucl = uniqc // U
+                uidv = uniqc % U
+                n_per_cl = np.bincount(ucl, minlength=nclusters)
+                cl_ptr = np.searchsorted(ucl, np.arange(nclusters + 1))
+                two = np.nonzero(n_per_cl == 2)[0]
+                if len(two):
+                    # winner = higher count, tie -> lex-smaller (ids are
+                    # lex-ordered because np.unique sorted the keys)
+                    e0 = cl_ptr[two]
+                    e1 = e0 + 1
+                    win = np.where(cnts[e1] > cnts[e0], e1, e0)
+                    p0 = first_idx[e0]
+                    p1 = first_idx[e1]
+                    l0 = u_len[p0]
+                    l1 = u_len[p1]
+                    lm = max(int(l0.max()), int(l1.max()), 1)
+                    jj = np.arange(lm, dtype=np.int64)[None, :]
+                    Wm = u_mat.shape[1]
+                    g0 = u_mat[p0[:, None],
+                               np.minimum(u_start[p0][:, None] + jj, Wm - 1)]
+                    g1 = u_mat[p1[:, None],
+                               np.minimum(u_start[p1][:, None] + jj, Wm - 1)]
+                    ham = ((g0 != g1)
+                           & (jj < np.minimum(l0, l1)[:, None])).sum(axis=1)
+                    d2 = ham + np.abs(l0 - l1)  # cluster.cpp:41-53
+                    split = d2 > c_thr[two]
+                    if split.any():
+                        wmap = np.full(nclusters, -1, dtype=np.int64)
+                        wmap[two[split]] = uidv[win[split]]
+                        wcl = wmap[cluster_of_pair]
+                        msk = wcl >= 0
+                        grp_rank[msk] = (pair_ukey_id[msk]
+                                         != wcl[msk]).astype(np.int64)
+                for ci in np.nonzero(n_per_cl > 2)[0]:
+                    lo, hi = int(c_pair_start[ci]), int(c_pair_end[ci])
+                    umis = [umivec.umi_string(u_mat, u_start, u_len, pi)
+                            for pi in range(lo, hi)]
+                    for r, idxs in enumerate(
+                            greedy_umi_groups(umis, int(c_thr[ci]))):
+                        grp_rank[lo + np.asarray(idxs, dtype=np.int64)] = r
+            order_p = np.lexsort((grp_rank, cluster_of_pair))
+            mem_pairs = order_p.astype(np.int64)
+            cl_s = cluster_of_pair[order_p]
+            rk_s = grp_rank[order_p]
+            newg = np.ones(P, dtype=bool)
+            if P:
+                newg[1:] = (cl_s[1:] != cl_s[:-1]) | (rk_s[1:] != rk_s[:-1])
+            gs_idx = np.nonzero(newg)[0]
+            G = len(gs_idx)
+            g_start = np.append(gs_idx, P).astype(np.int64)
+            g_sizes = np.diff(g_start)
+            g_cluster = (cl_s[gs_idx] if G else np.zeros(0, dtype=np.int64))
             g_cross = c_right[g_cluster] < 0 if G else np.zeros(0, dtype=bool)
 
         # single-pair-no-right early-return groups (group.cpp:73-77):
@@ -655,7 +694,7 @@ class VectorEngine:
         return _Dispatched(
             pending=pending, jobs=jobs, out_records=out_records,
             assemble_args=(nclusters, G, g_cluster, g_sizes, g_start,
-                           g_single, g_cross, group_slices, side_jobs, jobs,
+                           g_single, g_cross, side_jobs, jobs,
                            batch, pl, pr, work, pair_has_umi, c_pair_start,
                            mem_pairs, u_mat, u_start, u_len, out_records))
 
@@ -1688,7 +1727,7 @@ class VectorEngine:
 
     # ------------------------------------------------------------------
     def _assemble_all(self, nclusters, G, g_cluster, g_sizes, g_start,
-                      g_single, g_cross, group_slices, side_jobs, jobs,
+                      g_single, g_cross, side_jobs, jobs,
                       batch, pl, pr, work, pair_has_umi, c_pair_start,
                       mem_pairs, u_mat, u_start, u_len, out_records):
         """Columnar cluster tail: duplex eligibility, supporting-read
@@ -1800,7 +1839,8 @@ class VectorEngine:
         for ci in np.nonzero(scalar_cl)[0]:
             pre.add_cluster(bool(n_groups[ci] > 1))
             singles = [self._assemble_group(
-                gi, group_slices[gi], bool(g_single[gi]), bool(g_cross[gi]),
+                gi, mem_pairs[g_start[gi]:g_start[gi + 1]],
+                bool(g_single[gi]), bool(g_cross[gi]),
                 side_jobs, jobs, batch, pl, pr, work, pair_umi_str)
                 for gi in range(int(cg_start[ci]),
                                 int(cg_start[ci] + n_groups[ci]))]
