@@ -172,14 +172,12 @@ def _kernel(seq_ref, qual_ref, score_ref, ref_ref,
     minc_ref[:] = mi
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "hi", "mod", "lo", "base_score_req", "ratio_num", "ratio_den", "tj",
-    "interpret"))
-def _pallas_stage(seq, qual, score, refbase, valid, *, hi, mod, lo,
-                  base_score_req, ratio_num, ratio_den, tj, interpret):
-    """The pallas_call in its own jit: its outputs are program results, so
-    XLA materializes them to HBM instead of stack-allocating the full
-    arrays in scoped VMEM (which OOMs for large J)."""
+def _pallas_core(seq, qual, score, refbase, valid, *, hi, mod, lo,
+                 base_score_req, ratio_num, ratio_den, tj, interpret):
+    """The pallas_call with sentinel masking; callers jit it so the
+    outputs are program results and XLA materializes them to HBM instead
+    of stack-allocating the full arrays in scoped VMEM (which OOMs for
+    large J)."""
     K, J, L = seq.shape
     grid = (J // tj,)
     kern = functools.partial(_kernel, hi=hi, mod=mod, lo=lo,
@@ -202,13 +200,33 @@ def _pallas_stage(seq, qual, score, refbase, valid, *, hi, mod, lo,
     )(seq_s, qual_s, score_s, refbase.astype(I32))
 
 
+_pallas_stage = functools.partial(jax.jit, static_argnames=(
+    "hi", "mod", "lo", "base_score_req", "ratio_num", "ratio_den", "tj",
+    "interpret"))(_pallas_core)
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "hi", "mod", "lo", "base_score_req", "ratio_num", "ratio_den", "out_len",
-    "sparse", "n_diffs", "n_runs"))
-def _epilogue(cseq, cqual, chg, minc_pos, seq0, qual0,
-              job_len, *, hi, mod, lo, base_score_req, ratio_num, ratio_den,
-              out_len=None, sparse=False, n_diffs=SPARSE_DIFFS,
-              n_runs=SPARSE_RUNS):
+    "hi", "mod", "lo", "base_score_req", "ratio_num", "ratio_den", "tj",
+    "interpret"))
+def _pallas_stage_gathered(seq_dev, qual_dev, score_dev, rows_t, refbase,
+                           valid, *, hi, mod, lo, base_score_req,
+                           ratio_num, ratio_den, tj, interpret):
+    """Member row-gather fused with the pallas vote in ONE jit — the
+    remote transport charges ~30ms per execute, so the separate gather
+    execute per bucket was pure latency."""
+    seq = seq_dev[rows_t]
+    qual = qual_dev[rows_t]
+    score = score_dev[rows_t]
+    return _pallas_core(seq, qual, score, refbase, valid, hi=hi, mod=mod,
+                        lo=lo, base_score_req=base_score_req,
+                        ratio_num=ratio_num, ratio_den=ratio_den, tj=tj,
+                        interpret=interpret)
+
+
+def _epilogue_core(cseq, cqual, chg, minc_pos, seq0, qual0,
+                   job_len, *, hi, mod, lo, base_score_req, ratio_num,
+                   ratio_den, out_len=None, sparse=False,
+                   n_diffs=SPARSE_DIFFS, n_runs=SPARSE_RUNS):
     """Per-read rollback + output packing. new_seq ships 4-bit packed
     (BAM nibble layout, first base in the high nibble) — the transport
     has no wire compression, so halving the seq bytes halves its
@@ -278,6 +296,29 @@ def _epilogue(cseq, cqual, chg, minc_pos, seq0, qual0,
     return pseq, new_qual, diff, minc, enc
 
 
+_epilogue = functools.partial(jax.jit, static_argnames=(
+    "hi", "mod", "lo", "base_score_req", "ratio_num", "ratio_den", "out_len",
+    "sparse", "n_diffs", "n_runs"))(_epilogue_core)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "hi", "mod", "lo", "base_score_req", "ratio_num", "ratio_den", "out_len",
+    "sparse", "n_diffs", "n_runs"))
+def _epilogue_gathered(cseq, cqual, chg, minc_pos, seq_dev, qual_dev, row0,
+                       job_len, *, hi, mod, lo, base_score_req, ratio_num,
+                       ratio_den, out_len=None, sparse=False,
+                       n_diffs=SPARSE_DIFFS, n_runs=SPARSE_RUNS):
+    """Epilogue variant for the fused-gather path: the template rows are
+    fetched from the device-resident matrices inside the same jit."""
+    seq0 = seq_dev[row0]
+    qual0 = qual_dev[row0]
+    return _epilogue_core(cseq, cqual, chg, minc_pos, seq0, qual0, job_len,
+                          hi=hi, mod=mod, lo=lo,
+                          base_score_req=base_score_req, ratio_num=ratio_num,
+                          ratio_den=ratio_den, out_len=out_len, sparse=sparse,
+                          n_diffs=n_diffs, n_runs=n_runs)
+
+
 def pallas_vote(seq, qual, score, valid, job_len, refbase, *, hi, mod, lo,
                 base_score_req, ratio_num, ratio_den, tj=256,
                 interpret=False, out_len=None, sparse=False):
@@ -313,6 +354,38 @@ def pallas_vote(seq, qual, score, valid, job_len, refbase, *, hi, mod, lo,
     return _epilogue(cseq, cqual, chg, minc_pos, seq[0], qual[0],
                      jnp.asarray(job_len, dtype=I32),
                      out_len=out_len, sparse=sparse, **kw)
+
+
+def pallas_vote_gathered(seq_dev, qual_dev, score_dev, rows_t, row0, valid,
+                         job_len, refbase, *, hi, mod, lo, base_score_req,
+                         ratio_num, ratio_den, tj=256, interpret=False,
+                         out_len=None, sparse=False):
+    """pallas_vote with the member gather and template-row fetch fused
+    into the device programs: 2 executes per bucket (stage + epilogue)
+    instead of 3 — per-execute latency is ~30ms on the remote transport.
+
+    rows_t int32 [K, J] member work rows (transposed); row0 int32 [J]
+    template rows; other args as pallas_vote."""
+    tj = _TJ_USED.get(tj, tj)
+    kw = dict(hi=hi, mod=mod, lo=lo, base_score_req=base_score_req,
+              ratio_num=ratio_num, ratio_den=ratio_den)
+    cur = tj
+    while True:
+        try:
+            cseq, cqual, chg, minc_pos = _pallas_stage_gathered(
+                seq_dev, qual_dev, score_dev, rows_t, refbase, valid,
+                tj=cur, interpret=interpret, **kw)
+            break
+        except Exception as e:  # jax.errors.JaxRuntimeError on compile OOM
+            if cur > 8 and "vmem" in str(e).lower():
+                cur //= 2
+                continue
+            raise
+    _TJ_USED[tj] = cur
+    return _epilogue_gathered(cseq, cqual, chg, minc_pos, seq_dev, qual_dev,
+                              jnp.asarray(row0, dtype=I32),
+                              jnp.asarray(job_len, dtype=I32),
+                              out_len=out_len, sparse=sparse, **kw)
 
 
 _TJ_USED: dict = {}

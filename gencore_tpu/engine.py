@@ -1655,21 +1655,20 @@ class VectorEngine:
         from gencore_tpu.core import pallas_vote
         o = self.opt
         J2 = rows.shape[0]
-        g_seq, g_qual, g_score = _gather_rows_T(seq_dev, qual_dev, score_dev,
-                                                rows.T)
         kw = dict(hi=o.high_quality, mod=o.moderate_quality, lo=o.low_quality,
                   base_score_req=o.base_score_req, ratio_num=rnum,
                   ratio_den=rden, tj=tj,
                   interpret=getattr(self, "_pallas_interpret", False))
-        if getattr(self, "_sparse_dl", False):
-            res = pallas_vote.pallas_vote(
-                g_seq, g_qual, g_score, valid.T, jl_arr, refbase,
-                out_len=self.out_len, sparse=True, **kw)
-            out = _PackedOut(list(res[:4]), enc=res[4], rows0=rows[:, 0].copy())
+        row0 = np.ascontiguousarray(rows[:, 0])
+        sparse = bool(getattr(self, "_sparse_dl", False))
+        res = pallas_vote.pallas_vote_gathered(
+            seq_dev, qual_dev, score_dev, np.ascontiguousarray(rows.T),
+            row0, valid.T, jl_arr, refbase,
+            out_len=self.out_len, sparse=sparse, **kw)
+        if sparse:
+            out = _PackedOut(list(res[:4]), enc=res[4], rows0=row0.copy())
         else:
-            out = _PackedOut(list(pallas_vote.pallas_vote(
-                g_seq, g_qual, g_score, valid.T, jl_arr, refbase,
-                out_len=self.out_len, **kw)))
+            out = _PackedOut(list(res))
         overrides = None
         if shifted_jj:
             # host re-gather with shifts for the affected jobs only
@@ -2326,10 +2325,6 @@ def _gather_fns():
     import jax
 
     @jax.jit
-    def g3(seq_dev, qual_dev, score_dev, rows_t):
-        return seq_dev[rows_t], qual_dev[rows_t], score_dev[rows_t]
-
-    @jax.jit
     def g2(qual_dev, score_dev, rows):
         return qual_dev[rows], score_dev[rows]
 
@@ -2337,21 +2332,16 @@ def _gather_fns():
     def g1(arr, rows):
         return arr[rows]
 
-    return g3, g2, g1
-
-
-def _gather_rows_T(seq_dev, qual_dev, score_dev, rows_t):
-    g3, _, _ = _gather_fns()
-    return g3(seq_dev, qual_dev, score_dev, rows_t)
+    return g2, g1
 
 
 def _gather_one(arr, rows):
-    _, _, g1 = _gather_fns()
+    _, g1 = _gather_fns()
     return g1(arr, rows)
 
 
 def _pull_rows(qual_dev, score_dev, need_rows):
-    _, g2, _ = _gather_fns()
+    g2, _ = _gather_fns()
     n2 = _next_pow2(max(len(need_rows), 1))
     padded = np.pad(need_rows, (0, n2 - len(need_rows)))
     q, s = g2(qual_dev, score_dev, padded.astype(np.int32))
