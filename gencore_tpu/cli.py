@@ -174,9 +174,10 @@ def main(argv=None) -> int:
     if args.stream:
         if (opt.input in ("-",) or opt.output in ("-",)
                 or opt.output.endswith("sam") or args.oracle
-                or args.shards > 1):
+                or args.shards > 1 or opt.max_contig > 0):
             print("ERROR: --stream requires BAM file input and output "
-                  "(no stdin/stdout/SAM/--oracle/--shards)", file=sys.stderr)
+                  "(no stdin/stdout/SAM/--oracle/--shards/"
+                  "--quit_after_contig)", file=sys.stderr)
             return -1
         from gencore_tpu.io.bed import BedRegions
         from gencore_tpu.parallel.streaming import StreamingBam, run_streaming
@@ -256,10 +257,20 @@ def main(argv=None) -> int:
                 # with later windows' host/device work
                 from gencore_tpu.parallel.streaming import StreamingBamWriter
                 out_writer = StreamingBamWriter(opt.output, header)
-            tables, pre_stats, post_stats = pipe.run_pipelined(
-                opt, batch, header, fasta=fasta, bed=bed,
-                n_windows=args.windows, devices=devices,
-                stage_totals=stage_sum, out_writer=out_writer)
+            try:
+                tables, pre_stats, post_stats = pipe.run_pipelined(
+                    opt, batch, header, fasta=fasta, bed=bed,
+                    n_windows=args.windows, devices=devices,
+                    stage_totals=stage_sum, out_writer=out_writer)
+            except BaseException:
+                # the incremental writer truncated the output at start;
+                # don't leave a corrupt EOF-less partial file behind
+                if out_writer is not None:
+                    try:
+                        os.remove(opt.output)
+                    except OSError:
+                        pass
+                raise
             if stage_sum:
                 for k in sorted(stage_sum, key=lambda k: -stage_sum[k]):
                     print(f"[stage] {k}: {stage_sum[k]:.3f}s (summed over "

@@ -63,6 +63,11 @@ def get_lib():
     lib.gc_bgzf_read_blocks.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                                         ctypes.c_int64, ctypes.c_void_p,
                                         ctypes.c_int64, ctypes.c_int]
+    if hasattr(lib, "gc_bgzf_read_span"):
+        lib.gc_bgzf_read_span.restype = ctypes.c_int
+        lib.gc_bgzf_read_span.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                          ctypes.c_int64, ctypes.c_void_p,
+                                          ctypes.c_int64, ctypes.c_int]
     lib.gc_bam_scan.restype = ctypes.c_int64
     lib.gc_bam_scan.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                 ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
@@ -187,6 +192,19 @@ def bgzf_read_blocks(path: str, block_lo: int, block_hi: int, out_len: int):
     out = np.empty(out_len, dtype=np.uint8)
     r = lib.gc_bgzf_read_blocks(path.encode(), block_lo, block_hi,
                                 out.ctypes.data, out_len, 0)
+    return out if r == 0 else None
+
+
+def bgzf_read_span(path: str, file_lo: int, file_hi: int, out_len: int):
+    """Decompress the blocks spanning file bytes [file_lo, file_hi)
+    (block-start offsets from bgzf_block_table); reads ONLY that span
+    from disk, so streaming callers' I/O stays O(span)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gc_bgzf_read_span"):
+        return None
+    out = np.empty(out_len, dtype=np.uint8)
+    r = lib.gc_bgzf_read_span(path.encode(), file_lo, file_hi,
+                              out.ctypes.data, out_len, 0)
     return out if r == 0 else None
 
 

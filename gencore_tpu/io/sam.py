@@ -243,17 +243,24 @@ def open_alignment(path: str):
     import sys
     if path == "-":
         data = sys.stdin.buffer.read()
+        import os
         import tempfile
         sniff = data[:4]
         if sniff[:2] == b"\x1f\x8b" or sniff == b"BAM\x01":
             tf = tempfile.NamedTemporaryFile(delete=False, suffix=".bam")
             tf.write(data)
             tf.close()
-            return bamio.BamReader(tf.name)
+            try:
+                return bamio.BamReader(tf.name)  # loads payload eagerly
+            finally:
+                os.unlink(tf.name)
         tf = tempfile.NamedTemporaryFile(delete=False, suffix=".sam", mode="wb")
         tf.write(data)
         tf.close()
-        return SamReader(tf.name)
+        try:
+            return SamReader(tf.name)
+        finally:
+            os.unlink(tf.name)
     with open(path, "rb") as fh:
         sniff = fh.read(4)
     if sniff[:2] == b"\x1f\x8b" or sniff == b"BAM\x01":

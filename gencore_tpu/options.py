@@ -60,8 +60,6 @@ class Options:
     disable_duplex: bool = False   # --no_duplex
 
     # ---- TPU-native engine knobs (no reference counterpart) ----
-    # genomic window size used to chunk a contig for batched processing; the
-    # reference proves windowability via its watermark flush (gencore.cpp:324-389)
     # halo: same-contig pairs are bounded at 100kb (gencore.cpp:300)
     pair_gap_limit: int = 100_000
     # device batching

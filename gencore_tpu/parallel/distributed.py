@@ -150,7 +150,12 @@ def run_process(opt: Options, bam_path: str, out_dir: str,
         for w in range(len(wins)):
             pp = os.path.join(out_dir, f"win_{w}.payload")
             if not os.path.exists(pp):
-                continue
+                # every window was assigned to some process; a missing
+                # payload after the barrier means a failed shard write or
+                # shared-FS visibility lag — silent record loss either way
+                raise IOError(
+                    f"window {w} payload missing after allgather barrier: "
+                    f"{pp}")
             payload = np.fromfile(pp, dtype=np.uint8)
             keys = np.load(os.path.join(out_dir, f"win_{w}.keys.npy"))
             shard = win.LoadedShard(payload, keys)

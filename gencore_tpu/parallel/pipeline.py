@@ -123,6 +123,19 @@ def merged_payload(tables) -> np.ndarray:
     return out
 
 
+def _put_alive(q: "queue.Queue", item, err: list) -> bool:
+    """Bounded put that cannot deadlock on a dead consumer: gives up as
+    soon as the collector has recorded an error (its thread no longer
+    drains the queue). Returns False when abandoned."""
+    while not err:
+        try:
+            q.put(item, timeout=0.2)
+            return True
+        except queue.Full:
+            continue
+    return False
+
+
 def flush_ready(pending: list, boundary, writer):
     """Emit every pending record with bamComp key strictly below
     `boundary` (a (tid, pos) pair; None = flush all), preserving the
@@ -341,9 +354,10 @@ def run_pipelined(opt: Options, batch: bamio.RecordBatch, header,
                 print(f"[pipeline] w{w} dispatch "
                       f"{td0 - t_origin:.2f}-{td1 - t_origin:.2f}s "
                       f"({len(idx)} reads)", file=sys.stderr)
-            done_q.put((w, eng, st, dev))
+            if not _put_alive(done_q, (w, eng, st, dev), err):
+                break
     finally:
-        done_q.put(None)
+        _put_alive(done_q, None, err)
         th.join()
     if err:
         raise err[0]

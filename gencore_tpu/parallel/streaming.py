@@ -35,7 +35,7 @@ from gencore_tpu.io import native
 from gencore_tpu.options import Options
 from gencore_tpu.stats import Stats
 from gencore_tpu.parallel.pipeline import (plan_windows, _merge_window_stats,
-                                           flush_ready,
+                                           flush_ready, _put_alive,
                                            window_flush_boundaries)
 from gencore_tpu.parallel.windows import (global_checkpoint,
                                           global_watermark)
@@ -71,9 +71,14 @@ class StreamingBam:
         bt = native.bgzf_block_table(path)
         if bt is None:
             raise ValueError(f"not a BGZF file: {path}")
+        import os
         self.path = path
         self.block_table, self.total = bt
         self.out_offs = np.append(self.block_table[:, 1], self.total)
+        # file offsets of block starts (+ file size sentinel) for ranged
+        # preads: I/O per span is O(span bytes), not O(file)
+        self.file_offs = np.append(self.block_table[:, 0],
+                                   os.path.getsize(path))
         self.chunk_bytes = chunk_bytes
         self.header = None
         self._body_start = None
@@ -87,7 +92,10 @@ class StreamingBam:
         bl = max(bl, 0)
         base = int(self.out_offs[bl])
         out_len = int(self.out_offs[bh]) - base
-        buf = native.bgzf_read_blocks(self.path, bl, bh, out_len)
+        buf = native.bgzf_read_span(self.path, int(self.file_offs[bl]),
+                                    int(self.file_offs[bh]), out_len)
+        if buf is None:  # older libgcio without the span reader
+            buf = native.bgzf_read_blocks(self.path, bl, bh, out_len)
         if buf is None:
             raise IOError("BGZF ranged decode failed")
         return buf, base
@@ -329,9 +337,10 @@ def run_streaming(opt: Options, path: str, out_path: str,
             eng._suppress_contig_dbg = True
             st = eng.run_dispatch(batch, checkpoint=ck, watermark=wm,
                                   count_pre_reads=False)
-            done_q.put((w, eng, st))
+            if not _put_alive(done_q, (w, eng, st), err):
+                break
     finally:
-        done_q.put(None)
+        _put_alive(done_q, None, err)
         th.join()
     if err:
         raise err[0]

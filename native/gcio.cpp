@@ -24,6 +24,7 @@
 namespace {
 
 struct Block {
+  size_t file_off;   // offset of the block start within the file buffer
   size_t comp_off;   // offset of deflate data within file buffer
   size_t comp_len;
   size_t out_off;    // offset in output buffer
@@ -82,6 +83,7 @@ bool scan_blocks(const std::vector<uint8_t>& buf, std::vector<Block>* blocks,
     uint32_t isize;
     memcpy(&isize, &buf[pos + bsize - 4], 4);
     Block b;
+    b.file_off = pos;
     b.comp_off = pos + 12 + xlen;
     b.comp_len = bsize - (12 + xlen) - 8;
     b.out_off = out_off;
@@ -153,15 +155,11 @@ int64_t gc_bgzf_block_table(const char* path, int64_t* table, int64_t cap,
   size_t total = 0;
   if (!scan_blocks(file, &blocks, &total)) return -1;
   if (static_cast<int64_t>(blocks.size()) > cap) return -2;
-  size_t pos = 0;
   for (size_t i = 0; i < blocks.size(); ++i) {
-    // comp_off points at deflate data; recover the block's file offset
-    // from running position arithmetic instead: re-scan is avoided by
-    // storing out_off; file offset = comp_off - (12 + xlen) is not
-    // directly recoverable, so we store comp_off (sufficient for decode).
-    table[2 * i] = static_cast<int64_t>(blocks[i].comp_off);
+    // (block file start, uncompressed offset): the file start lets
+    // ranged readers (gc_bgzf_read_span) pread exactly one span's bytes
+    table[2 * i] = static_cast<int64_t>(blocks[i].file_off);
     table[2 * i + 1] = static_cast<int64_t>(blocks[i].out_off);
-    (void)pos;
   }
   *total_out = static_cast<int64_t>(total);
   return static_cast<int64_t>(blocks.size());
@@ -198,6 +196,53 @@ int gc_bgzf_read_blocks(const char* path, int64_t block_lo, int64_t block_hi,
       size_t actual = 0;
       auto r = libdeflate_deflate_decompress(
           d, file.data() + b.comp_off, b.comp_len, out + (b.out_off - base),
+          b.out_len, &actual);
+      if (r != LIBDEFLATE_SUCCESS || actual != b.out_len) failed.store(true);
+    }
+    libdeflate_free_decompressor(d);
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < nt; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& t : threads) t.join();
+  return failed.load() ? -3 : 0;
+}
+
+// Decompress the BGZF blocks whose bytes span [file_lo, file_hi) of
+// `path` into out. Unlike gc_bgzf_read_blocks this reads ONLY that span
+// from disk (file_lo must be a block start, file_hi a block start or the
+// file end — both straight from the gc_bgzf_block_table output), so a
+// streaming caller's I/O and residency stay O(span), not O(file).
+int gc_bgzf_read_span(const char* path, int64_t file_lo, int64_t file_hi,
+                      uint8_t* out, int64_t out_cap, int n_threads) {
+  if (file_lo < 0 || file_hi < file_lo) return -2;
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  std::vector<uint8_t> buf(static_cast<size_t>(file_hi - file_lo));
+  bool ok = true;
+  if (!buf.empty()) {
+    if (fseek(f, static_cast<long>(file_lo), SEEK_SET) != 0) ok = false;
+    if (ok && fread(buf.data(), 1, buf.size(), f) != buf.size()) ok = false;
+  }
+  fclose(f);
+  if (!ok) return -1;
+  std::vector<Block> blocks;
+  size_t total = 0;
+  if (!scan_blocks(buf, &blocks, &total)) return -1;
+  if (static_cast<int64_t>(total) > out_cap) return -2;
+  int nt = hw_threads(n_threads);
+  std::atomic<size_t> next(0);
+  std::atomic<bool> failed(false);
+  auto worker = [&]() {
+    libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+    for (;;) {
+      size_t i = next.fetch_add(1);
+      if (i >= blocks.size() || failed.load(std::memory_order_relaxed)) break;
+      const Block& b = blocks[i];
+      if (b.out_len == 0) continue;
+      size_t actual = 0;
+      auto r = libdeflate_deflate_decompress(
+          d, buf.data() + b.comp_off, b.comp_len, out + b.out_off,
           b.out_len, &actual);
       if (r != LIBDEFLATE_SUCCESS || actual != b.out_len) failed.store(true);
     }

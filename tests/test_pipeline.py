@@ -99,6 +99,31 @@ def test_pipeline_incremental_writer_byte_identical(tmp_path):
         assert getattr(post1, f) == getattr(post2, f), ("post", f)
 
 
+def test_pipeline_collector_failure_propagates(tmp_path, monkeypatch):
+    """A collector-thread failure must raise, not deadlock: the dispatch
+    side fills the bounded queue while the collector is busy, and a dead
+    collector never drains it (regression for the blocking put)."""
+    import time
+
+    sb = make_random_workload(63, n_fragments=200, umi_mode="plain",
+                              contig_len=400_000, n_contigs=1)
+    bam_path = str(tmp_path / "in.bam")
+    sb.write_bam(bam_path)
+    reader = bam.BamReader(bam_path)
+    batch = reader.read_all()
+
+    def boom(self, st):
+        time.sleep(1.0)  # let dispatch run ahead and fill the queue
+        raise RuntimeError("simulated device failure")
+
+    monkeypatch.setattr(VectorEngine, "run_collect", boom)
+    t0 = time.time()
+    with pytest.raises(RuntimeError, match="simulated device failure"):
+        pipeline.run_pipelined(Options(), batch, reader.header,
+                               n_windows=8)
+    assert time.time() - t0 < 30  # not a hang
+
+
 def test_plan_windows_never_splits_clusters(tmp_path):
     sb = make_random_workload(61, n_fragments=300, umi_mode="plain",
                               contig_len=400_000, n_contigs=2)
