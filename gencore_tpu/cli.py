@@ -219,7 +219,9 @@ def main(argv=None) -> int:
             self.pre_stats = pre
             self.post_stats = post
 
-    sam_out = opt.output.endswith("sam") or opt.output == "-"
+    # only a name ending in "sam" gets text mode; `-o -` writes BAM to
+    # stdout exactly like the reference (gencore.cpp:170-173)
+    sam_out = opt.output.endswith("sam")
     from gencore_tpu.utils.tracing import maybe_jax_trace
     _trace_ctx = maybe_jax_trace()
     _trace_ctx.__enter__()

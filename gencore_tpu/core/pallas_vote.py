@@ -322,7 +322,6 @@ def _epilogue_gathered(cseq, cqual, chg, minc_pos, seq_dev, qual_dev, row0,
 def pallas_vote(seq, qual, score, valid, job_len, refbase, *, hi, mod, lo,
                 base_score_req, ratio_num, ratio_den, tj=256,
                 interpret=False, out_len=None, sparse=False):
-    tj = _TJ_USED.get(tj, tj)
     """Pallas-backed voting over gathered member tensors.
 
     seq/qual [K, J, L] uint8, score [K, J, L] int8, valid [K, J] (any int),
@@ -335,6 +334,7 @@ def pallas_vote(seq, qual, score, valid, job_len, refbase, *, hi, mod, lo,
     sparse=True appends the compact wire encoding (see _epilogue): returns
     (pseq, new_qual, diff, minc, enc) with the first four still on device.
     """
+    tj = _TJ_USED.get(tj, tj)
     kw = dict(hi=hi, mod=mod, lo=lo, base_score_req=base_score_req,
               ratio_num=ratio_num, ratio_den=ratio_den)
     # self-tuning tile: halve on scoped-VMEM OOM (remote toolchains vary)

@@ -322,7 +322,8 @@ class VectorEngine:
             self._contig_len, self._contig_base, self._genome = hit
         else:
             self._genome = None
-        self._umi_from_mi = False
+        self._mi_has_rank = None   # per-rank MI presence (None = no MI)
+        self._qname_umi = None
         self.timer = StageTimer()
 
     # ------------------------------------------------------------------
@@ -732,16 +733,42 @@ class VectorEngine:
             return self._finalize(st.out_records)
 
     # ------------------------------------------------------------------
+    def _mi_candidate_ranks(self, batch, cidx):
+        """Exact vectorized MI-presence pre-filter: ranks (positions in
+        cidx) whose aux region could hold an MI:Z tag. A real MI tag always
+        embeds the bytes 'M','I','Z' consecutively, so a whole-payload
+        3-byte pattern scan restricted to aux spans is sound (a value-byte
+        false positive only costs a per-record verification walk). Replaces
+        the round-3 sampled probe, which could miss minority-MI files
+        (reference consults MI per read, bamutil.cpp:23-38)."""
+        d = batch.data
+        if len(d) < 4 or len(cidx) == 0:
+            return np.zeros(0, dtype=np.int64)
+        h = (d[:-3] == ord("M")) & (d[1:-2] == ord("I")) & (d[2:-1] == ord("Z"))
+        pp = np.nonzero(h)[0]
+        if not len(pp):
+            return np.zeros(0, dtype=np.int64)
+        rec = np.searchsorted(batch.off, pp, side="right") - 1
+        valid = ((rec >= 0) & (pp >= batch.aux_off[rec])
+                 & (pp + 3 < batch.end[rec]))
+        recs = np.unique(rec[valid])
+        # restrict to clustered records, mapped to ranks in cidx
+        rk = np.searchsorted(cidx, recs)
+        ok = (rk < len(cidx)) & (cidx[np.clip(rk, 0, len(cidx) - 1)] == recs)
+        return rk[ok]
+
     def _pair_umis_vec(self, batch, qname_mat, cidx, rl, rr, has_right):
         """Per-pair UMI spans (start, len, fixed-width key, source matrix).
 
-        Qname-vectorized unless MI tags are present (sampled probe; python
-        fallback then). Mate UMI mismatch is fatal (pair.cpp:196-216).
+        Qname-vectorized; MI tags win over qname PER READ
+        (bamutil.cpp:23-38) — candidate rows come from an exact vectorized
+        aux scan. Mate UMI mismatch is fatal (pair.cpp:196-216).
         """
         prefix = self.opt.umi_prefix
-        sample = cidx[:: max(1, len(cidx) // 64)][:64]
-        has_mi = any(batch.get_str_tag(int(i), b"MI") is not None for i in sample)
-        self._umi_from_mi = has_mi
+        cand = self._mi_candidate_ranks(batch, cidx)
+        has_mi = len(cand) > 0
+        self._mi_has_rank = None
+        self._qname_umi = None
         if not has_mi:
             src_mat = qname_mat
             src_len = batch.l_read_name[cidx].astype(np.int64) - 1
@@ -749,7 +776,10 @@ class VectorEngine:
             # MI tag wins over qname, per read (bamutil.cpp:23-38); the tag
             # values are batch-extracted via a layout probe and substituted
             # into the parse matrix for the rows that carry one
-            mi_mat, mi_len, mi_has = self._extract_str_tag(batch, cidx, b"MI")
+            maybe = np.zeros(len(cidx), dtype=bool)
+            maybe[cand] = True
+            mi_mat, mi_len, mi_has = self._extract_str_tag(
+                batch, cidx, b"MI", fallback_mask=maybe)
             qlen = batch.l_read_name[cidx].astype(np.int64) - 1
             W = max(qname_mat.shape[1], mi_mat.shape[1])
             src_mat = np.zeros((len(cidx), W), dtype=np.uint8)
@@ -758,7 +788,18 @@ class VectorEngine:
             src_mat[mi_has, :] = 0
             src_mat[mi_has, :mi_mat.shape[1]] = mi_mat[mi_has]
             src_len[mi_has] = mi_len[mi_has]
+            self._mi_has_rank = mi_has
+            self._umi_cidx = cidx
+            # qname-only umi spans, for the qname-copy reconciliation path
+            # (a merged read whose template lacks MI takes the umi from its
+            # possibly-copied qname, oracle get_umi / pair.cpp:192)
+            qs, ql2 = umivec.umi_spans(
+                qname_mat, batch.l_read_name[cidx].astype(np.int64) - 1,
+                prefix)
+            self._qname_umi = (qname_mat, qs, ql2)
         start_all, len_all = umivec.umi_spans(src_mat, src_len, prefix)
+        if has_mi:
+            self._umi_read_arrays = (src_mat, start_all, len_all)
         keys_all, _ = umivec.umi_keys(src_mat, start_all, len_all)
         rr_c = np.clip(rr, 0, None)
         ll = len_all[rl]
@@ -778,12 +819,13 @@ class VectorEngine:
                 np.where(use_right, rk, lk), src_mat[src_row])
 
     def _extract_str_tag(self, batch, idx: np.ndarray, tag: bytes,
-                         scan_w: int = 256):
+                         scan_w: int = 256, fallback_mask=None):
         """Vectorized Z-typed aux-tag extraction for records `idx`:
         (mat uint8[n, <=scan_w], lens int64[n], has bool[n]). Same layout-
         probe strategy as _extract_nm — a constant tag offset from aux_off
         is verified per record (tag bytes + 'Z' type); probe misses walk
-        the aux chain per record."""
+        the aux chain per record (restricted to fallback_mask rows when
+        given — rows a pre-filter already cleared never pay the walk)."""
         n = len(idx)
         datalen = len(batch.data)
         delta = None
@@ -813,7 +855,8 @@ class VectorEngine:
         mat = np.where(cols[None, :] < ln[:, None], wmat, 0)
         has = ok.copy()
         ln[~ok] = 0
-        for k in np.nonzero(~ok)[0]:
+        walk = ~ok if fallback_mask is None else (~ok & fallback_mask)
+        for k in np.nonzero(walk)[0]:
             off, typ = batch.find_tag(int(idx[k]), tag)
             if off is None or typ != "Z":
                 continue
@@ -1947,7 +1990,9 @@ class VectorEngine:
 
         # UMI of the merged pair: the reference re-extracts from the merged
         # left (else right) read after qname reconciliation (group.cpp:124-131,
-        # pair.cpp:192). With MI tags the source is the template's MI tag.
+        # pair.cpp:192). PER READ, an MI tag on the template record wins over
+        # the (possibly copied) qname (bamutil.cpp:23-38 via oracle get_umi).
+        mi_mode = self._mi_has_rank is not None
         umi_src = (jobs[lj].template_pair if lj >= 0
                    else (jobs[rj].template_pair if rj >= 0 else None))
         if cross_contig:
@@ -1967,16 +2012,16 @@ class VectorEngine:
             if left is not None and name_to_copy is not None and \
                     cur_read != (jobs[lj].template_read if lj >= 0 else -1):
                 left.qname_rec = cur_read
-                if not self._umi_from_mi:
+                if not mi_mode:
                     umi_src = cur_pair
         elif left is not None and right is not None:
             if left.padded_l_qname() <= right.padded_l_qname():
                 right.qname_rec = left.qname_rec
-                if not self._umi_from_mi:
+                if not mi_mode:
                     umi_src = jobs[lj].template_pair
             else:
                 left.qname_rec = right.qname_rec
-                if not self._umi_from_mi:
+                if not mi_mode:
                     umi_src = jobs[rj].template_pair
 
         pair.left = left
@@ -1985,8 +2030,38 @@ class VectorEngine:
             pair.merge_left_diff = jobs[lj].diff
         if rj >= 0:
             pair.merge_right_diff = jobs[rj].diff
-        pair.umi = pair_umi_str(int(umi_src)) if umi_src is not None else ""
+        if mi_mode:
+            ul = self._merged_side_umi(lj, left, jobs)
+            ur = self._merged_side_umi(rj, right, jobs)
+            pair.umi = ul if ul else (ur or "")
+        else:
+            pair.umi = pair_umi_str(int(umi_src)) if umi_src is not None else ""
         return pair
+
+    def _umi_rank(self, read_idx: int) -> int:
+        return int(np.searchsorted(self._umi_cidx, read_idx))
+
+    def _read_has_mi(self, read_idx: int) -> bool:
+        m = self._mi_has_rank
+        if m is None:
+            return False
+        rk = self._umi_rank(read_idx)
+        c = self._umi_cidx
+        return bool(rk < len(c) and c[rk] == read_idx and m[rk])
+
+    def _merged_side_umi(self, side_job, read_out, jobs):
+        """get_umi of one merged side read (oracle get_umi / reference
+        pair.cpp:192 + bamutil.cpp:23-38): MI tag of the template record
+        when present, else qname parse of the possibly-copied qname."""
+        if side_job < 0 or read_out is None:
+            return None
+        tr = int(jobs[side_job].template_read)
+        if self._read_has_mi(tr):
+            mat, st, ln = self._umi_read_arrays
+            return umivec.umi_string(mat, st, ln, self._umi_rank(tr))
+        qmat, qs, ql = self._qname_umi
+        return umivec.umi_string(qmat, qs, ql,
+                                 self._umi_rank(int(read_out.qname_rec)))
 
     def _job_output(self, job_id: int, jobs, batch, work):
         if job_id < 0:

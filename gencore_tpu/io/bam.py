@@ -394,6 +394,18 @@ class BamWriter:
     def close(self):
         from gencore_tpu.io import native
         payload = b"".join(self._chunks)
+        if self.path == "-":
+            # BAM to stdout: the reference opens stdout in BAM mode for
+            # `-o -` (only names ending in "sam" get text mode,
+            # gencore.cpp:170-173)
+            import sys
+            out = sys.stdout.buffer
+            for i in range(0, len(payload), bgzf.MAX_BLOCK_INPUT):
+                out.write(bgzf.compress_block(
+                    payload[i:i + bgzf.MAX_BLOCK_INPUT], self.level))
+            out.write(bgzf.BGZF_EOF)
+            out.flush()
+            return
         arr = np.frombuffer(payload, dtype=np.uint8)
         if native.bgzf_write(self.path, arr, self.level):
             return

@@ -244,6 +244,33 @@ def test_equivalence_mi_tag_mixed_layouts(tmp_path):
     assert_equivalent(o, v)
 
 
+def test_equivalence_mi_tag_minority(tmp_path):
+    """MI on a small minority of reads: the reference consults MI per read
+    (bamutil.cpp:23-38), so a sampled has-MI probe is not enough — a
+    cluster can mix one MI-tagged pair into qname-UMI duplicates and the
+    minority rows must still win MI over qname. Workload is sized so that
+    a 64-record sample would likely miss every MI row."""
+    sb = SyntheticBam(seed=77, contig_len=800_000)
+    rng = np.random.default_rng(78)
+    for k in range(300):
+        pos = 1000 + 250 * k
+        umi = str(rng.choice(["AAAA_CCCC", "CCCC_AAAA", "GGGG_TTTT"]))
+        ndup = int(rng.choice([1, 2, 3]))
+        for d in range(ndup):
+            if k % 60 == 37 and d == 0:
+                # rare MI-tagged read; its qname carries NO umi, so missing
+                # the MI drops it from its umi group. The MI value embeds
+                # the prefix so getUMI parses it non-empty (bamutil.cpp:44).
+                sb.add_pair_mi(0, pos, pos + 150, mi=f"UMI_{umi}",
+                               n_errors=int(rng.integers(0, 2)))
+            else:
+                sb.add_pair(0, pos, pos + 150, umi=umi,
+                            n_errors=int(rng.integers(0, 2)),
+                            qual=int(rng.choice([18, 35])))
+    o, v = run_both(sb, tmp_path, {"umi_prefix": "UMI"})
+    assert_equivalent(o, v)
+
+
 def test_equivalence_far_apart_mates(tmp_path):
     """Same-contig mates >=100kb apart take the cross-contig key path
     (gencore.cpp:300-311)."""

@@ -177,8 +177,32 @@ def make_cases(quick=False):
                             qual=int(rng.choice([12, 22, 35])))
         return sb
 
+    def mi_minority_workload(seed, n_frags, clen=400_000):
+        """UMIs in qnames for most reads, MI:Z aux tags on a small minority
+        (whose qnames carry NO umi): the reference consults MI per read
+        (bamutil.cpp:23-38), so the minority must still group by MI."""
+        rng = np.random.default_rng(seed)
+        sb = SyntheticBam(seed=seed, contig_len=clen, n_contigs=1)
+        umis = ["AAAA_CCCC", "CCCC_AAAA", "GGGG_TTTT", "TTTT_GGGG"]
+        for k in range(n_frags):
+            pos1 = int(rng.integers(100, clen - 1000))
+            pos2 = pos1 + int(rng.integers(20, 180))
+            u = str(rng.choice(umis))
+            for d in range(1 + int(rng.poisson(1.5))):
+                if k % 41 == 17 and d == 0:
+                    # MI value embeds the prefix so getUMI parses it
+                    # non-empty under -u UMI (bamutil.cpp:44)
+                    sb.add_pair_mi(0, pos1, pos2, mi=f"UMI_{u}",
+                                   n_errors=int(rng.integers(0, 2)))
+                else:
+                    sb.add_pair(0, pos1, pos2, read_len=100, umi=u,
+                                n_errors=int(rng.integers(0, 2)),
+                                qual=int(rng.choice([18, 35])))
+        return sb
+
     n = 300 if quick else 1500
     cases.append(("defaults_noumi", simple_workload(11, n), []))
+    cases.append(("mi_minority", mi_minority_workload(18, n), ["-u", "UMI"]))
     cases.append(("duplex_umi", wide_workload(12, n), ["-u", "UMI"]))
     cases.append(("s2_scores", simple_workload(13, n), ["-s", "2", "-c", "8"]))
     cases.append(("umi_singlestrand", simple_workload(14, n, umi=True),
