@@ -468,40 +468,7 @@ class VectorEngine:
 
         _T0 = self.timer.stage
         _T = _T0
-        # ---- working arrays + upload (dispatched FIRST: the 40MB host->
-        # device transfer overlaps the sort/UMI/grouping/election host
-        # stages below — device work is async until the collection sync)
-        max_len = int(batch.l_qseq[cidx].max())
-        # round L up so compiled kernel shapes recur across workloads (jit
-        # compiles are expensive on remote-attached TPUs; shapes are bucketed
-        # and cached persistently — see cli/bench cache config). The Pallas
-        # path needs lane-aligned L (multiple of 128) to block properly.
         import jax as _jax
-        self._pad_shapes = _jax.default_backend() != "cpu"
-        lane = 128 if self._pad_shapes else 32
-        self.max_len = max(((max_len + lane - 1) // lane) * lane, lane)
-        # true data length: device->host transfers slice to this
-        self.out_len = max(((max_len + 7) // 8) * 8, 8)
-        with _T("materialize"):
-            with _T("materialize.host"):
-                work = _WorkArrays(batch, cidx, self.max_len,
-                                   w_host=self.out_len,
-                                   pad_pow2=self._pad_shapes)
-                self.work = work
-                ct = CigarTable(batch, cidx)
-            # read matrices live on device for the fused kernel pipeline.
-            # Upload via a jit identity: on remote-attached chips the
-            # device_put path can be orders of magnitude slower than
-            # execute-argument transfer.
-            import jax
-            with _T("materialize.updispatch"):
-                seq_dev, qual_dev = _upload_unpack_fn(
-                    work.w_host, work.L, work.qual_mode, work.seq_mode)(
-                    work.seq_up, work.qual_up, work.lens, work.qtable16)
-            if _SYNC_STAGES:
-                with _T("materialize.upwait"):
-                    jax.block_until_ready(seq_dev)
-                    jax.block_until_ready(qual_dev)
 
         with _T0("sort"):
             qname_mat, qname_w = self._qname_matrix(batch, cidx)
@@ -562,14 +529,19 @@ class VectorEngine:
                     self._watermark = (int(rt[j]), int(rl2[j]))
                     break
 
-        rl = work.row_of(pl)
+        # rank space: position in the ascending cidx (NOT the device work
+        # row — rows get a group-contiguous permutation below so uploads
+        # and member gathers can exploit group locality)
+        rank_l = np.searchsorted(cidx, pl)
         has_right = pr >= 0
-        rr = np.where(has_right, work.row_of(np.where(has_right, pr, pl)), -1)
+        rank_r = np.where(has_right,
+                          np.searchsorted(cidx, np.where(has_right, pr, pl)),
+                          -1)
 
         # ---- vectorized UMIs ----
         with _T("umi"):
             u_start, u_len, u_keys, u_mat = self._pair_umis_vec(
-                batch, qname_mat, cidx, rl, rr, has_right)
+                batch, qname_mat, cidx, rank_l, rank_r, has_right)
         _, pair_ukey_id = np.unique(u_keys, return_inverse=True)
         pair_has_umi = u_len > 0
 
@@ -649,6 +621,84 @@ class VectorEngine:
         if G:
             first_pair = mem_pairs[g_start[:-1]]
             g_single = (g_sizes == 1) & ~has_right[first_pair]
+
+        # ---- group-contiguous row permutation ----
+        # Work rows are laid out (group, side, member-rank)-contiguous:
+        # every (group, side) segment's member rows are consecutive, in
+        # member order, with the segment head = the fast-path template
+        # (first present member). This makes the upload duplicate-aware
+        # (members ship as edits vs their segment head — see _WorkArrays)
+        # and vote member gathers iota-addressable. Reads that are neither
+        # a pair's left nor its (last) right sit at the tail and ship no
+        # seq/qual bytes at all.
+        with _T("sort.perm"):
+            gidx_of_member = (np.repeat(np.arange(G), g_sizes)
+                              if G else np.zeros(0, dtype=np.int64))
+            lmem = pl[mem_pairs]
+            rmem = np.where(has_right[mem_pairs], pr[mem_pairs], -1)
+            presl = lmem >= 0
+            presr = rmem >= 0
+            e_reads = np.concatenate([lmem[presl], rmem[presr]])
+            e_group = np.concatenate([gidx_of_member[presl],
+                                      gidx_of_member[presr]])
+            e_side = np.concatenate([
+                np.zeros(int(presl.sum()), dtype=np.int8),
+                np.ones(int(presr.sum()), dtype=np.int8)])
+            e_ord = np.concatenate([np.nonzero(presl)[0],
+                                    np.nonzero(presr)[0]])
+            eo = np.lexsort((e_ord, e_side, e_group))
+            seg_reads = e_reads[eo]
+            seg_group = e_group[eo]
+            seg_side = e_side[eo]
+            # segment id per laid-out row: changes when (group, side) does
+            ne = len(seg_reads)
+            newseg = np.ones(ne, dtype=bool)
+            if ne > 1:
+                newseg[1:] = ((seg_group[1:] != seg_group[:-1])
+                              | (seg_side[1:] != seg_side[:-1]))
+            seg_of_row = np.cumsum(newseg) - 1 if ne else np.zeros(0, np.int64)
+            perm_ranks = np.searchsorted(cidx, seg_reads)
+            rest = np.ones(nclust, dtype=bool)
+            rest[perm_ranks] = False
+            perm_ranks = np.concatenate([perm_ranks, np.nonzero(rest)[0]])
+            rank2row = np.empty(nclust, dtype=np.int64)
+            rank2row[perm_ranks] = np.arange(nclust)
+            cidx_rows = cidx[perm_ranks]
+
+        # ---- working arrays + upload ----
+        max_len = int(batch.l_qseq[cidx].max())
+        # round L up so compiled kernel shapes recur across workloads (jit
+        # compiles are expensive on remote-attached TPUs; shapes are bucketed
+        # and cached persistently — see cli/bench cache config). The Pallas
+        # path needs lane-aligned L (multiple of 128) to block properly.
+        self._pad_shapes = _jax.default_backend() != "cpu"
+        lane = 128 if self._pad_shapes else 32
+        self.max_len = max(((max_len + lane - 1) // lane) * lane, lane)
+        # true data length: device->host transfers slice to this
+        self.out_len = max(((max_len + 7) // 8) * 8, 8)
+        with _T("materialize"):
+            with _T("materialize.host"):
+                work = _WorkArrays(batch, cidx_rows, self.max_len,
+                                   w_host=self.out_len,
+                                   pad_pow2=self._pad_shapes,
+                                   sorted_cidx=cidx, rank2row=rank2row,
+                                   seg_of_row=seg_of_row)
+                self.work = work
+                ct = CigarTable(batch, cidx_rows)
+            # read matrices live on device for the fused kernel pipeline.
+            # Upload via a jit identity: on remote-attached chips the
+            # device_put path can be orders of magnitude slower than
+            # execute-argument transfer.
+            import jax
+            with _T("materialize.updispatch"):
+                seq_dev, qual_dev = work.upload()
+            if _SYNC_STAGES:
+                with _T("materialize.upwait"):
+                    jax.block_until_ready(seq_dev)
+                    jax.block_until_ready(qual_dev)
+
+        rl = work.row_of(pl)
+        rr = np.where(has_right, work.row_of(np.where(has_right, pr, pl)), -1)
 
         # ---- election ----
         jobs = _JobTable()
@@ -2446,18 +2496,32 @@ class _WorkArrays:
     lanes) so compiled kernel shapes recur across workloads."""
 
     def __init__(self, batch, cidx: np.ndarray, max_len: int,
-                 w_host: int | None = None, pad_pow2: bool = True):
+                 w_host: int | None = None, pad_pow2: bool = True,
+                 sorted_cidx: np.ndarray = None, rank2row: np.ndarray = None,
+                 seg_of_row: np.ndarray = None):
         """max_len is the device width L; w_host (defaults to L) is the
         narrower transfer width — enough for real read bases. The host
         keeps only compact upload staging (4-bit packed seq; quals as
         nibble indices into a <=16-entry value table when the data is
         RTA-binned, raw bytes otherwise); the device unpacks/decodes and
         zero-pads to [n_pad, L] on chip. No dense host matrices: the
-        transport has no wire compression, so upload bytes are the cost."""
+        transport has no wire compression, so upload bytes are the cost.
+
+        cidx may arrive PERMUTED (group-contiguous row layout); then
+        sorted_cidx/rank2row provide the read->row mapping and seg_of_row
+        the per-row (group, side) segment id for the duplicate-aware
+        upload encoding (rows beyond len(seg_of_row) are unreferenced by
+        device kernels and ship no bytes)."""
         self.L = max_len
         self.w_host = w_host = w_host or max_len
         assert w_host % 2 == 0 and w_host <= max_len
         self.cidx = cidx
+        if sorted_cidx is None:
+            sorted_cidx = cidx
+            rank2row = None
+        self._sorted_cidx = sorted_cidx
+        self._rank2row = rank2row
+        self.seg_of_row = seg_of_row
         n = len(cidx)
         n_pad = _next_pow2(n + 1) if pad_pow2 else n + 1
         self.n_pad = n_pad
@@ -2563,7 +2627,16 @@ class _WorkArrays:
             self.qual_mode = "raw"
 
     def row_of(self, read_idx: np.ndarray) -> np.ndarray:
-        return np.searchsorted(self.cidx, read_idx)
+        rk = np.searchsorted(self._sorted_cidx, read_idx)
+        return rk if self._rank2row is None else self._rank2row[rk]
 
     def row_of_one(self, read_idx: int) -> int:
-        return int(np.searchsorted(self.cidx, read_idx))
+        rk = int(np.searchsorted(self._sorted_cidx, read_idx))
+        return rk if self._rank2row is None else int(self._rank2row[rk])
+
+    def upload(self):
+        """Dispatch the async host->device upload; returns device-resident
+        (seq_dev, qual_dev) [n_pad, L] uint8 matrices."""
+        return _upload_unpack_fn(
+            self.w_host, self.L, self.qual_mode, self.seq_mode)(
+            self.seq_up, self.qual_up, self.lens, self.qtable16)
