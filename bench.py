@@ -141,6 +141,11 @@ def main():
 
     # persistent XLA compile cache must be configured before backend use
     import jax
+    plat = os.environ.get("GENCORE_PLATFORM")
+    if plat:
+        # the image's sitecustomize forces the axon platform regardless of
+        # JAX_PLATFORMS; honor an explicit request (cpu smoke runs)
+        jax.config.update("jax_platforms", plat)
     cache_dir = os.path.join(BENCH_DIR, "jax_cache")
     os.makedirs(cache_dir, exist_ok=True)
     try:
@@ -173,45 +178,50 @@ def main():
 
     fasta = FastaRef.load(fa_path)
     reader = bamio.BamReader(bam_path)
-    batch = reader.read_all()
-    n_reads = batch.n
+    n_reads = reader.read_all().n
     setup_s = time.time() - t_setup
+
+    from gencore_tpu.io import native as gnative
+    use_stream = (gnative.get_lib() is not None
+                  and not os.environ.get("GENCORE_BENCH_NO_STREAM"))
+    out_path = os.path.join(BENCH_DIR, "bench_out.bam")
 
     # warm pass: dispatch+compile every kernel with NO device->host
     # transfers (engine warm_only path) so compilation is excluded from the
     # timed runs without perturbing transport state. Uses the same window
     # plan as the timed runs so bucket shapes match.
     t0 = time.time()
-    pipe.run_pipelined(Options(), batch, reader.header, fasta=fasta,
-                       n_windows=n_windows, warm_only=True)
+    if use_stream:
+        from gencore_tpu.parallel import streaming as stream
+        stream.run_streaming(Options(), bam_path, out_path, fasta=fasta,
+                             n_windows=n_windows, warm_only=True)
+    else:
+        pipe.run_pipelined(Options(), reader.read_all(), reader.header,
+                           fasta=fasta, n_windows=n_windows, warm_only=True)
     warm_s = time.time() - t0
 
-    # timed runs: full end-to-end (decode -> pipelined engine -> encode+write)
+    # timed runs: full end-to-end. The default path is the streaming
+    # window pipeline (the CLI default for file->file BAM): pass-1 index
+    # (threaded inflate + native record scan) then per-window ranged
+    # decode -> engine -> incremental BGZF write, so BGZF inflate overlaps
+    # device compute with no serial whole-file decode prefix.
     runs = []
     stage_tables = []
     n_out = 0
-    out_path = os.path.join(BENCH_DIR, "bench_out.bam")
-    from gencore_tpu.io import native as gnative
-    use_inc = gnative.get_lib() is not None
     for _ in range(max(N_RUNS, 1)):
         t1 = time.time()
-        rdr = bamio.BamReader(bam_path)
-        b = rdr.read_all()
-        t_dec = time.time() - t1
         stage_sum: dict = {}
-        if use_inc:
-            # incremental writer: window payloads compress+write on the
-            # collector thread as flush boundaries clear
-            from gencore_tpu.parallel.streaming import StreamingBamWriter
-            w = StreamingBamWriter(out_path, rdr.header)
-            tables, pre_stats, post_stats = pipe.run_pipelined(
-                Options(), b, rdr.header, fasta=fasta, n_windows=n_windows,
-                stage_totals=stage_sum, out_writer=w)
-            t_wr = time.time()
-            w.close()
-            t_wr = time.time() - t_wr
-            n_out = getattr(w, "records_written", 0)
+        if use_stream:
+            _, pre_stats, post_stats = stream.run_streaming(
+                Options(), bam_path, out_path, fasta=fasta,
+                n_windows=n_windows, stage_totals=stage_sum)
+            n_out = int(stage_sum.pop("out.records", 0))
+            t_dec = t_wr = 0.0
         else:
+            td0 = time.time()
+            rdr = bamio.BamReader(bam_path)
+            b = rdr.read_all()
+            t_dec = time.time() - td0
             tables, pre_stats, post_stats = pipe.run_pipelined(
                 Options(), b, rdr.header, fasta=fasta, n_windows=n_windows,
                 stage_totals=stage_sum)
@@ -227,14 +237,23 @@ def main():
         # exceed elapsed; they attribute where time goes, not the critical path
         st = {k: round(v, 3) for k, v in sorted(stage_sum.items(),
                                                 key=lambda kv: -kv[1])}
-        st["decode"] = round(t_dec, 3)
-        st["write"] = round(t_wr, 3)
+        if not use_stream:
+            st["decode"] = round(t_dec, 3)
+            st["write"] = round(t_wr, 3)
         stage_tables.append(st)
 
     med = statistics.median(runs)
     med_idx = runs.index(med) if med in runs else 0
     rps = n_reads / med
     baseline_rps, baseline_src = resolve_baseline()
+    wire = {}
+    for st in stage_tables:
+        h2 = st.pop("wire.h2dMB", None)
+        d2 = st.pop("wire.d2hMB", None)
+        if h2 is not None and not wire:
+            wire = {"h2d_B_per_read": round(h2 * 1e6 / max(n_reads, 1), 1),
+                    "d2h_B_per_read": round((d2 or 0) * 1e6 / max(n_reads, 1), 1),
+                    "h2d_MB": round(h2, 1), "d2h_MB": round(d2 or 0, 1)}
     result = {
         "metric": "consensus_reads_per_sec_per_chip",
         "value": round(rps, 1),
@@ -251,6 +270,7 @@ def main():
             "setup_s": round(setup_s, 2),
             "prime_s": round(prime_s, 2),
             "transport": transport,
+            "wire": wire,
             "stages_s": stage_tables[med_idx],
             "baseline_rps": baseline_rps,
             "baseline_source": baseline_src,

@@ -171,28 +171,62 @@ def main(argv=None) -> int:
         for name, contig in fasta.contigs.items():
             print(f"{name}: {len(contig)} bp", file=sys.stderr)
 
-    if args.stream:
-        if (opt.input in ("-",) or opt.output in ("-",)
-                or opt.output.endswith("sam") or args.oracle
-                or args.shards > 1 or opt.max_contig > 0):
+    # Streaming (bounded-memory windowed decode/process/write) is the
+    # DEFAULT for file->file BAM runs: the reference's only mode is
+    # O(window) residency (gencore.cpp:205), and the windowed ranged
+    # decode overlaps BGZF inflate with device compute. --stream forces
+    # it; small inputs and unsupported shapes use the in-memory pipeline.
+    stream_ok = not (opt.input in ("-",) or opt.output in ("-",)
+                     or opt.input.endswith("sam")
+                     or opt.output.endswith("sam") or args.oracle
+                     or args.shards > 1 or opt.max_contig > 0
+                     or args.windows == 1)
+    use_stream = args.stream
+    if not use_stream and stream_ok and not os.environ.get("GENCORE_NO_STREAM"):
+        from gencore_tpu.io import native as _nat
+        thr = int(os.environ.get("GENCORE_STREAM_THRESHOLD", 32 << 20))
+        try:
+            use_stream = (_nat.get_lib() is not None
+                          and os.path.getsize(opt.input) >= thr)
+        except OSError:
+            use_stream = False
+    if use_stream:
+        if not stream_ok:
             print("ERROR: --stream requires BAM file input and output "
                   "(no stdin/stdout/SAM/--oracle/--shards/"
                   "--quit_after_contig)", file=sys.stderr)
             return -1
-        from gencore_tpu.io.bed import BedRegions
         from gencore_tpu.parallel.streaming import StreamingBam, run_streaming
-        sb0 = StreamingBam(opt.input)
+        try:
+            sb0 = StreamingBam(opt.input)
+        except (ValueError, RuntimeError, OSError):
+            if args.stream:
+                raise
+            sb0 = None  # auto-selected but not BGZF: in-memory path below
+            use_stream = False
+    if use_stream:
+        from gencore_tpu.io.bed import BedRegions
         buf0, _ = sb0._read_span(0, min(1 << 20, sb0.total))
         sb0._parse_header(buf0)
         bed = None
         if opt.bed_file:
             bed = BedRegions.load(opt.bed_file, sb0.header.names)
             opt.has_bed_file = True
+        devices = None
+        if args.devices > 1:
+            import jax
+            devices = jax.local_devices()[:args.devices]
+        stage_sum = {} if opt.debug else None
         from gencore_tpu.utils.tracing import maybe_jax_trace
         with maybe_jax_trace():
             header, pre_stats, post_stats = run_streaming(
                 opt, opt.input, opt.output, fasta=fasta, bed=bed,
-                n_windows=args.windows)
+                n_windows=args.windows, devices=devices,
+                stage_totals=stage_sum)
+        if stage_sum:
+            for k in sorted(stage_sum, key=lambda k: -stage_sum[k]):
+                print(f"[stage] {k}: {stage_sum[k]:.3f}s (summed over "
+                      "windows)", file=sys.stderr)
         print("----Before gencore processing:", file=sys.stderr)
         pre_stats.print_summary(sys.stderr)
         print("\n----After gencore processing:", file=sys.stderr)

@@ -370,6 +370,29 @@ def score_map_kernel(seq_all, qual_all, mate_row, my_start, mate_start,
 
 @functools.partial(jax.jit, static_argnames=(
     "hi", "mod", "lo", "s_hi", "s_mod", "s_lo", "s_bad"))
+def score_map_kernel_packed(seq_all, qual_all, lens_dev, mate_row, meta,
+                            *, hi, mod, lo, s_hi, s_mod, s_lo, s_bad):
+    """score_map_kernel with the per-row geometry packed into one uint32
+    (my_start 8b | mate_start 8b | cmp_len 9b | is_left 1b | scored 1b) and
+    the read lengths taken from the device-resident lens array — 6 B/row
+    on the wire (u32 meta + u16 mate row) instead of 22 B. Semantics
+    identical to score_map_kernel; requires w_host <= 256 (the CLI/engine
+    only packs then)."""
+    meta = meta.astype(jnp.uint32)
+    my_start = (meta & 0xFF).astype(I32)
+    mate_start = ((meta >> 8) & 0xFF).astype(I32)
+    cmp_len = ((meta >> 16) & 0x1FF).astype(I32)
+    is_left = ((meta >> 25) & 1).astype(jnp.bool_)
+    scored = ((meta >> 26) & 1).astype(jnp.bool_)
+    return score_map_kernel(seq_all, qual_all, mate_row.astype(I32),
+                            my_start, mate_start, cmp_len,
+                            lens_dev.astype(I32), is_left, scored,
+                            hi=hi, mod=mod, lo=lo, s_hi=s_hi, s_mod=s_mod,
+                            s_lo=s_lo, s_bad=s_bad)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "hi", "mod", "lo", "s_hi", "s_mod", "s_lo", "s_bad"))
 def score_scatter_kernel(seq_all, qual_all, lrow, rrow, ls, rs, cl, llen, rlen,
                          *, hi, mod, lo, s_hi, s_mod, s_lo, s_bad):
     """Overlap scoring over pair row indices into the device-resident read

@@ -356,6 +356,62 @@ def pallas_vote(seq, qual, score, valid, job_len, refbase, *, hi, mod, lo,
                      out_len=out_len, sparse=sparse, **kw)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "K", "hi", "mod", "lo", "base_score_req", "ratio_num", "ratio_den",
+    "tj", "interpret", "out_len", "sparse"))
+def _pallas_contig_all(seq_dev, qual_dev, score_dev, base_row, counts, jl,
+                       refbase_dev, ridx, *, K, hi, mod, lo, base_score_req,
+                       ratio_num, ratio_den, tj, interpret, out_len, sparse):
+    """Whole vote bucket in ONE device program for group-contiguous member
+    rows: member row k of job j is base_row[j] + k (the work-row layout
+    places each (group, side) segment's members consecutively with the
+    template at the head), so no [J, K] row/valid matrices ship — rows
+    come from an iota, validity from the member count, the refbase rows
+    from an on-device gather, and the epilogue (rollback + sparse wire
+    encoding) runs in the same program. Wire cost: 11 B/job in, the
+    sparse encoding out."""
+    kw = dict(hi=hi, mod=mod, lo=lo, base_score_req=base_score_req,
+              ratio_num=ratio_num, ratio_den=ratio_den)
+    n_pad = seq_dev.shape[0]
+    br = base_row.astype(I32)
+    k_iota = jnp.arange(K, dtype=I32)[:, None]
+    rows_t = jnp.clip(br[None, :] + k_iota, 0, n_pad - 1)
+    valid = k_iota < counts[None, :].astype(I32)
+    refbase = refbase_dev[ridx.astype(I32)]
+    cseq, cqual, chg, minc_pos = _pallas_core(
+        seq_dev[rows_t], qual_dev[rows_t], score_dev[rows_t], refbase,
+        valid, tj=tj, interpret=interpret, **kw)
+    seq0 = seq_dev[br]
+    qual0 = qual_dev[br]
+    return _epilogue_core(cseq, cqual, chg, minc_pos, seq0, qual0,
+                          jl.astype(I32), out_len=out_len, sparse=sparse,
+                          **kw)
+
+
+def pallas_vote_contig(seq_dev, qual_dev, score_dev, base_row, counts,
+                       job_len, refbase_dev, ridx, *, K, hi, mod, lo,
+                       base_score_req, ratio_num, ratio_den, tj=256,
+                       interpret=False, out_len=None, sparse=False):
+    """One-execute bucket dispatch (see _pallas_contig_all) with the
+    VMEM-OOM tile self-tuning of pallas_vote."""
+    tj = _TJ_USED.get(tj, tj)
+    cur = tj
+    while True:
+        try:
+            return _pallas_contig_all(
+                seq_dev, qual_dev, score_dev, base_row, counts, job_len,
+                refbase_dev, ridx, K=K, hi=hi, mod=mod, lo=lo,
+                base_score_req=base_score_req, ratio_num=ratio_num,
+                ratio_den=ratio_den, tj=cur, interpret=interpret,
+                out_len=out_len, sparse=sparse)
+        except Exception as e:  # jax.errors.JaxRuntimeError on compile OOM
+            if cur > 8 and "vmem" in str(e).lower():
+                _TJ_USED[tj] = cur // 2
+                cur //= 2
+                continue
+            raise
+
+
 def pallas_vote_gathered(seq_dev, qual_dev, score_dev, rows_t, row0, valid,
                          job_len, refbase, *, hi, mod, lo, base_score_req,
                          ratio_num, ratio_den, tj=256, interpret=False,

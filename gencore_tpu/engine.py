@@ -325,6 +325,13 @@ class VectorEngine:
         self._mi_has_rank = None   # per-rank MI presence (None = no MI)
         self._qname_umi = None
         self.timer = StageTimer()
+        self.wire_h2d = 0          # bytes shipped host->device this run
+        self.wire_d2h = 0          # bytes downloaded device->host
+
+    def _acct_up(self, *arrays):
+        for a in arrays:
+            if isinstance(a, np.ndarray):
+                self.wire_h2d += a.nbytes
 
     # ------------------------------------------------------------------
     def run(self, batch: bamio.RecordBatch, *, checkpoint=None,
@@ -691,7 +698,13 @@ class VectorEngine:
             # execute-argument transfer.
             import jax
             with _T("materialize.updispatch"):
-                seq_dev, qual_dev = work.upload()
+                seq_dev, qual_dev, lens_dev = work.upload()
+                if work.upload_mode == "sparse":
+                    self._acct_up(*[v for v in work._sup.values()
+                                    if isinstance(v, np.ndarray)])
+                else:
+                    self._acct_up(work.seq_up, work.qual_up, work.lens,
+                                  work.qtable16)
             if _SYNC_STAGES:
                 with _T("materialize.upwait"):
                     jax.block_until_ready(seq_dev)
@@ -716,7 +729,7 @@ class VectorEngine:
         with _T("score"):
             score_dev, qual_dev = self._score_pairs_vec(
                 batch, pl, pr, rl, rr, has_right, ct, mem_pairs, g_start,
-                g_sizes, side_jobs, work, seq_dev, qual_dev)
+                g_sizes, side_jobs, work, seq_dev, qual_dev, lens_dev)
             if _SYNC_STAGES:
                 with _T("score.wait"):
                     _jax.block_until_ready(score_dev)
@@ -780,7 +793,14 @@ class VectorEngine:
             self._assemble_all(*st.assemble_args)
 
         with _T("finalize"):
-            return self._finalize(st.out_records)
+            out = self._finalize(st.out_records)
+        # wire accounting (bytes -> MB pseudo-stages; summed across window
+        # engines by the pipeline's stage_totals merge)
+        self.timer.totals["wire.h2dMB"] = (
+            self.timer.totals.get("wire.h2dMB", 0.0) + self.wire_h2d / 1e6)
+        self.timer.totals["wire.d2hMB"] = (
+            self.timer.totals.get("wire.d2hMB", 0.0) + self.wire_d2h / 1e6)
+        return out
 
     # ------------------------------------------------------------------
     def _mi_candidate_ranks(self, batch, cidx):
@@ -1129,7 +1149,7 @@ class VectorEngine:
     # ------------------------------------------------------------------
     def _score_pairs_vec(self, batch, pl, pr, rl, rr, has_right, ct,
                          mem_pairs, g_start, g_sizes, side_jobs, work,
-                         seq_dev, qual_dev):
+                         seq_dev, qual_dev, lens_dev=None):
         """Overlap scoring for every pair of any group owning >= 1 job
         (reference fetches scores for all group pairs, group.cpp:272,300-304).
         Runs fully on device; returns (score_dev, qual_dev).
@@ -1170,6 +1190,35 @@ class VectorEngine:
         # per-row formulation: each read row belongs to exactly one pair,
         # so scoring is a gather/map over all N rows (no TPU scatter)
         N = work.n_pad
+        opts = dict(hi=o.high_quality, mod=o.moderate_quality,
+                    lo=o.low_quality,
+                    s_hi=o.score_not_overlapped_high_qual,
+                    s_mod=o.score_not_overlapped_moderate_qual,
+                    s_lo=o.score_not_overlapped_low_qual,
+                    s_bad=o.score_not_overlapped_bad_qual)
+        _Ts = self.timer.stage
+        if lens_dev is not None and work.w_host <= 256 and N <= (1 << 16):
+            # packed wire form: u32 geometry + u16 mate row = 6 B/row
+            # (was 22 B across 7 arrays). cmp_len <= 0 (no overlap) clamps
+            # to an empty window with start 0 — identical semantics.
+            mate16 = np.arange(N, dtype=np.uint16)
+            meta = np.zeros(N, dtype=np.uint32)
+            mate16[lrow] = rrow.astype(np.uint16)
+            mate16[rrow] = lrow.astype(np.uint16)
+            clc = np.clip(cl, 0, 511).astype(np.uint32)
+            empty = clc == 0
+            lsc = np.where(empty, 0, np.clip(ls, 0, 255)).astype(np.uint32)
+            rsc = np.where(empty, 0, np.clip(rs, 0, 255)).astype(np.uint32)
+            mrow = np.concatenate([lrow, rrow])
+            mval = np.concatenate([
+                lsc | (rsc << 8) | (clc << 16) | (1 << 25) | (1 << 26),
+                rsc | (lsc << 8) | (clc << 16) | (1 << 26)])
+            meta[mrow] = mval
+            self._acct_up(mate16, meta)
+            with _Ts("score.dispatch"):
+                score_dev, qual_dev = kernels.score_map_kernel_packed(
+                    seq_dev, qual_dev, lens_dev, mate16, meta, **opts)
+            return score_dev, qual_dev
         mate_row = np.arange(N, dtype=np.int32)
         my_start = np.zeros(N, dtype=np.int32)
         mt_start = np.zeros(N, dtype=np.int32)
@@ -1192,16 +1241,12 @@ class VectorEngine:
         is_left[lrow] = True
         scored[lrow] = True
         scored[rrow] = True
-        _Ts = self.timer.stage
+        self._acct_up(mate_row, my_start, mt_start, cmp_len, my_len,
+                      is_left, scored)
         with _Ts("score.dispatch"):
             score_dev, qual_dev = kernels.score_map_kernel(
                 seq_dev, qual_dev, mate_row, my_start, mt_start, cmp_len,
-                my_len, is_left, scored,
-            hi=o.high_quality, mod=o.moderate_quality, lo=o.low_quality,
-                s_hi=o.score_not_overlapped_high_qual,
-                s_mod=o.score_not_overlapped_moderate_qual,
-                s_lo=o.score_not_overlapped_low_qual,
-                s_bad=o.score_not_overlapped_bad_qual)
+                my_len, is_left, scored, **opts)
         return score_dev, qual_dev
 
     # ------------------------------------------------------------------
@@ -1357,12 +1402,11 @@ class VectorEngine:
         hr = np.concatenate(host_rows, axis=0)
         H2 = _next_pow2(hr.shape[0]) if self._pad_shapes else hr.shape[0]
         hr = np.pad(hr, ((0, H2 - hr.shape[0]), (0, 0)))
-        return _refbase_combine_fn(L)(
-            self._genome_dev(),
-            np.pad(gpos, (0, J2 - J)),
-            hr,
-            np.pad(host_map, (0, J2 - J)),
-            np.pad(jl32, (0, J2 - J)))
+        gp = np.pad(gpos, (0, J2 - J))
+        hm = np.pad(host_map, (0, J2 - J))
+        jp = np.pad(jl32, (0, J2 - J))
+        self._acct_up(gp, hr, hm, jp)
+        return _refbase_combine_fn(L)(self._genome_dev(), gp, hr, hm, jp)
 
     def _vote_jobs(self, jobs: list, batch, work, flats, full_bins,
                    seq_dev, qual_dev, score_dev, ct):
@@ -1404,8 +1448,84 @@ class VectorEngine:
 
         _T = self.timer.stage
         pending = []
-        for kb in np.unique(kb_col) if nj else ():
-            jlist = np.nonzero(kb_col == kb)[0]
+        handled = np.zeros(nj, dtype=bool)
+
+        # ---- contiguous fast-job dispatch (1 execute per k-class) ----
+        # The group-contiguous row layout means a fast job's member rows
+        # are base..base+k-1 with the template at base, so the whole
+        # bucket ships as 11 B/job (base u32, count u8, jl u16, ridx u32)
+        # with rows/valid/refbase materialized on device. k-classes are
+        # quantized to {4, 16, pow2 beyond} so few shapes compile and few
+        # executes dispatch (VERDICT r3 #3).
+        if (use_pallas and refbase_dev is not None and nj
+                and not os.environ.get("GENCORE_NO_CONTIG_VOTE")):
+            from gencore_tpu.core import pallas_vote as _pv
+            fl = flats[True]
+            fr = flats[False]
+            fastm = fs_col >= 0
+            base_all = np.zeros(nj, dtype=np.int64)
+            if fastm.any():
+                fsel = np.nonzero(fastm)[0]
+                fls = fs_col[fsel]
+                base_all[fsel] = np.where(
+                    side_col[fsel],
+                    (fl if len(fl) else np.zeros(1, np.int64))[
+                        np.clip(fls, 0, max(len(fl) - 1, 0))],
+                    (fr if len(fr) else np.zeros(1, np.int64))[
+                        np.clip(fls, 0, max(len(fr) - 1, 0))])
+            contig = fastm.copy()
+            for side, flat in ((True, fl), (False, fr)):
+                m = fastm & (side_col == side)
+                if not m.any() or len(flat) == 0:
+                    continue
+                step = np.ones(len(flat), dtype=np.int64)
+                step[1:] = (np.diff(flat) != 1).astype(np.int64)
+                cb = np.cumsum(step)
+                sel = np.nonzero(m)[0]
+                fs_s = fs_col[sel]
+                last = np.clip(fs_s + k_col[sel] - 1, 0, len(flat) - 1)
+                contig[sel] &= (cb[last] - cb[fs_s]) == 0
+            cls = np.where(k_col <= 4, 4,
+                           np.where(k_col <= 16, 16, kb_col))
+            for K in (np.unique(cls[contig]) if contig.any() else ()):
+                K = int(K)
+                jlist = np.nonzero(contig & (cls == K))[0]
+                J = len(jlist)
+                J2 = _next_pow2(max(J, 1)) if self._pad_shapes else J
+                tj0 = max(8, min(32, 1024 // K))
+                if J2 % tj0:
+                    J2 += tj0 - J2 % tj0
+                base_row = np.full(J2, work.dummy_row, dtype=np.uint32)
+                base_row[:J] = base_all[jlist]
+                counts = np.zeros(J2, dtype=np.uint8)
+                counts[:J] = k_col[jlist]
+                jl_arr = np.zeros(J2, dtype=np.uint16)
+                jl_arr[:J] = jl_col[jlist]
+                ridx = np.zeros(J2, dtype=np.uint32)
+                ridx[:J] = jlist
+                self._acct_up(base_row, counts, jl_arr, ridx)
+                res = _pv.pallas_vote_contig(
+                    seq_dev, qual_dev, score_dev, base_row, counts, jl_arr,
+                    refbase_dev, ridx, K=K, hi=o.high_quality,
+                    mod=o.moderate_quality, lo=o.low_quality,
+                    base_score_req=o.base_score_req, ratio_num=rnum,
+                    ratio_den=rden, tj=min(tj0, J2), out_len=self.out_len,
+                    sparse=bool(self._sparse_dl),
+                    interpret=getattr(self, "_pallas_interpret", False))
+                rows0 = np.full(J2, work.dummy_row, dtype=np.int64)
+                rows0[:J] = base_all[jlist]
+                if self._sparse_dl:
+                    out = _PackedOut(list(res[:4]), enc=res[4], rows0=rows0)
+                else:
+                    out = _PackedOut(list(res))
+                if _SYNC_STAGES:
+                    with _T("vote.device"):
+                        jax.block_until_ready(out.dev_out)
+                pending.append((jlist, out, None))
+                handled[jlist] = True
+
+        for kb in np.unique(kb_col[~handled]) if nj else ():
+            jlist = np.nonzero(~handled & (kb_col == kb))[0]
             kb = int(kb)
             J = len(jlist)
             J2 = _next_pow2(max(J, 1)) if self._pad_shapes else J
@@ -1468,9 +1588,12 @@ class VectorEngine:
                 ridx = np.zeros(J2, dtype=np.int32)
                 ridx[:J] = jlist
                 refbase = _gather_one(refbase_dev, ridx)
+                self._acct_up(ridx)
             else:
                 refbase = np.zeros((J2, work.L), dtype=np.uint8)
                 refbase[:J] = refbase_all[jlist]
+                self._acct_up(refbase)
+            self._acct_up(rows, shifts, valid, jl_arr)
 
             if use_pallas:
                 outs, overrides = self._vote_pallas(
@@ -1593,6 +1716,7 @@ class VectorEngine:
                         _concat_outs_packed_fn(len(packed))(qtable, *flat)
                     # ONE device->host transfer for the whole window
                     fb = np.asarray(flat_d)
+                    self.wire_d2h += fb.nbytes
                     J2 = sum(outs.dev_out[0].shape[0] for _, outs, _ in packed)
                     pw = packed[0][1].dev_out[0].shape[1]
                     o1 = J2 * pw          # ps
@@ -1618,6 +1742,8 @@ class VectorEngine:
                     dq = np.array(dq_d)
                     df = np.asarray(df_d)
                     mc = np.asarray(mc_d)
+                    self.wire_d2h += (ps.nbytes + dq.nbytes + df.nbytes
+                                      + mc.nbytes)
                 ds = native.unpack_nib_dense(ps, _IDENT16)
                 if ds is None:
                     ds = _unpack_nibbles(ps)
@@ -1663,6 +1789,7 @@ class VectorEngine:
         for _, outs, _ in packed:
             flat.extend(outs.enc)
         fb = np.asarray(_concat_sparse_fn(len(packed))(*flat))
+        self.wire_d2h += fb.nbytes
         J2s = [outs.enc[2].shape[0] for _, outs, _ in packed]
         Jt = sum(J2s)
         ol = self.out_len
@@ -1723,6 +1850,7 @@ class VectorEngine:
                     pseq_d, qual_d = outs.dev_out[0], outs.dev_out[1]
                     pw = pseq_d.shape[1]
                     buf = np.asarray(_pull_dense_fn()(pseq_d, qual_d, idxp))
+                    self.wire_d2h += buf.nbytes
                     pr = buf[:n2 * pw].reshape(n2, pw)[:len(sel)]
                     qr = buf[n2 * pw:].reshape(n2, ol)[:len(sel)]
                     drows = native.unpack_nib_dense(pr, _IDENT16)
@@ -2297,7 +2425,83 @@ def _upload_unpack_fn(w_host: int, L: int, qual_mode: str, seq_mode: str):
         if L > w_host:
             seq = jnp.pad(seq, ((0, 0), (0, L - w_host)))
             qual = jnp.pad(qual, ((0, 0), (0, L - w_host)))
-        return seq, qual
+        return seq, qual, lens
+
+    return up
+
+
+_SPARSE_SEQ_CAP = 12   # per-row seq edits before the row ships dense
+_SPARSE_QUAL_CAP = 12  # per-row qual edits before the row ships raw
+
+
+@_functools.cache
+def _upload_sparse_fn(w: int, L: int, mode2: bool, has_sedit: bool,
+                      has_qdense: bool, has_qedit: bool):
+    """Duplicate-aware upload reconstruction: the wire carries one dense
+    row per (group, side) segment (2-bit packed when pure ACGT) plus flat
+    per-member (pos, code) seq edits and per-row qual base values with
+    (pos, val) edits; the chip rebuilds the dense [n_pad, L] matrices.
+    Edits apply as <=CAP broadcast compare-selects (VPU-friendly), NOT a
+    scatter — TPU scatters serialize. Flat edit offsets come from a device
+    cumsum over the per-row counts, so no row array ships."""
+    import jax
+    import jax.numpy as jnp
+
+    def un2(packed, n):
+        cols = [(packed >> 6) & 3, (packed >> 4) & 3,
+                (packed >> 2) & 3, packed & 3]
+        return jnp.stack(cols, axis=-1).reshape(n, -1)[:, :w]
+
+    def un4(packed, n):
+        return jnp.stack([packed >> 4, packed & 0xF],
+                         axis=-1).reshape(n, -1)[:, :w]
+
+    def _apply_edits(mat, cnts, pos_flat, val_flat, cap, j):
+        off = jnp.concatenate([
+            jnp.zeros(1, jnp.int32),
+            jnp.cumsum(cnts.astype(jnp.int32))[:-1]])
+        Ef = pos_flat.shape[0]
+        cnt = cnts.astype(jnp.int32)
+        for c in range(cap):
+            idx = jnp.clip(off + c, 0, Ef - 1)
+            p = pos_flat[idx].astype(jnp.int32)
+            v = val_flat[idx]
+            m = (c < cnt)[:, None] & (j == p[:, None])
+            mat = jnp.where(m, v[:, None], mat)
+        return mat
+
+    @jax.jit
+    def up(sd, src, scnt, epos, ecode, base, q_src, qd, qcnt, qpos, qval,
+           lens16):
+        n = src.shape[0]
+        nd = sd.shape[0]
+        if mode2:
+            dense = (jnp.uint8(1) << un2(sd, nd))
+            # row 0 is the reserved zero row; 2-bit 0 decodes to code 1
+            dense = jnp.where((jnp.arange(nd) == 0)[:, None],
+                              jnp.uint8(0), dense)
+        else:
+            dense = un4(sd, nd)
+        seq = dense[src.astype(jnp.int32)]
+        j = jnp.arange(w, dtype=jnp.int32)[None, :]
+        if has_sedit:
+            seq = _apply_edits(seq, scnt, epos, ecode, _SPARSE_SEQ_CAP, j)
+        lens = lens16.astype(jnp.int32)
+        keep = j < lens[:, None]
+        seq = jnp.where(keep, seq, 0)
+        qual = jnp.broadcast_to(base[:, None], (n, w))
+        if has_qdense:
+            nq = qd.shape[0]
+            qsel = q_src.astype(jnp.int32)
+            qrows = qd[jnp.clip(qsel - 1, 0, nq - 1)]
+            qual = jnp.where((qsel > 0)[:, None], qrows, qual)
+        if has_qedit:
+            qual = _apply_edits(qual, qcnt, qpos, qval, _SPARSE_QUAL_CAP, j)
+        qual = jnp.where(keep, qual, 0)
+        if L > w:
+            seq = jnp.pad(seq, ((0, 0), (0, L - w)))
+            qual = jnp.pad(qual, ((0, 0), (0, L - w)))
+        return seq, qual, lens
 
     return up
 
@@ -2522,6 +2726,7 @@ class _WorkArrays:
         self._sorted_cidx = sorted_cidx
         self._rank2row = rank2row
         self.seg_of_row = seg_of_row
+        self._pad_pow2 = pad_pow2
         n = len(cidx)
         n_pad = _next_pow2(n + 1) if pad_pow2 else n + 1
         self.n_pad = n_pad
@@ -2558,6 +2763,32 @@ class _WorkArrays:
         if len(nzvals) <= 15:
             self.qual_table = self.qtable16
             self.qtable16[1:1 + len(nzvals)] = nzvals
+        else:
+            self.qual_table = None
+        self.dummy_row = n_pad - 1
+
+        # ---- duplicate-aware sparse upload staging ----
+        # Group members are near-duplicates of their segment head: ship one
+        # dense row per (group, side) segment plus per-member (pos, code)
+        # edits, reconstructed on device. Quals ship as one base value per
+        # row plus (pos, val) edits (RTA data is runny; the bench case is
+        # constant-per-read). Rows whose edit count exceeds the cap ship
+        # dense; unreferenced tail rows ship nothing.
+        import os as _os2
+        self.upload_mode = "dense"
+        if (seg_of_row is not None and w_host <= 256 and n > 0
+                and not _os2.environ.get("GENCORE_NO_SPARSE_UP")
+                and self._build_sparse_upload(batch, cidx, qlens, pw,
+                                              use_native)):
+            self.upload_mode = "sparse"
+            self.seq_up = None
+            self.qual_up = None
+            self.seq_mode = "sparse"
+            self.qual_mode = "sparse"
+            return
+
+        # ---- dense staging fallback ----
+        if self.qual_table is not None:
             lut = np.zeros(256, dtype=np.uint8)
             lut[nzvals] = np.arange(1, 1 + len(nzvals), dtype=np.uint8)
             if use_native:
@@ -2569,10 +2800,8 @@ class _WorkArrays:
                 self.qual_up = np.zeros((n_pad, pw), dtype=np.uint8)
                 self.qual_up[:n] = (qidx[:, 0::2] << 4) | qidx[:, 1::2]
         else:
-            self.qual_table = None
             self.qual_up = np.zeros((n_pad, w_host), dtype=np.uint8)
             self.qual_up[:n] = batch.qual_matrix(cidx, w_host)
-        self.dummy_row = n_pad - 1
 
         # 2-bit staging when the data allows (pure-ACGT bases / <=3 distinct
         # qual values): 4 items per wire byte instead of 2. Fused native
@@ -2634,9 +2863,177 @@ class _WorkArrays:
         rk = int(np.searchsorted(self._sorted_cidx, read_idx))
         return rk if self._rank2row is None else int(self._rank2row[rk])
 
+    def _build_sparse_upload(self, batch, cidx, qlens, pw, use_native) -> bool:
+        """Stage the duplicate-aware sparse upload (see __init__ notes).
+        Returns False when the encoding does not apply (dense-index
+        overflow); True with self._sup populated. Wire cost on typical
+        deep-panel data: ~1/3 of rows ship dense 2-bit (segment heads),
+        everything else is a 2-byte src + ~1 edit — vs 2-bit dense rows
+        for every member before (VERDICT r3 #1: the upload byte floor)."""
+        n = len(cidx)
+        n_pad = self.n_pad
+        w = self.w_host
+        seg = self.seg_of_row
+        ne = len(seg)
+        ln = self.lens[:ne]
+        if ne:
+            new = np.ones(ne, dtype=bool)
+            new[1:] = seg[1:] != seg[:-1]
+            heads = np.nonzero(new)[0]
+            rep = heads[seg]
+        else:
+            heads = np.zeros(0, dtype=np.int64)
+            rep = np.zeros(0, dtype=np.int64)
+
+        # ---- seq: nibble diff vs segment head ----
+        X = self.seq_packed[:ne]
+        Y = self.seq_packed[rep]
+        D = X ^ Y
+        cols2 = np.arange(pw, dtype=np.int32) * 2
+        mhi = ((D >> 4) != 0) & (cols2[None, :] < ln[:, None])
+        mlo = ((D & 15) != 0) & ((cols2 + 1)[None, :] < ln[:, None])
+        cnt = mhi.sum(axis=1) + mlo.sum(axis=1)
+        dense_mask = np.zeros(ne, dtype=bool)
+        dense_mask[heads] = True
+        dense_mask |= cnt > _SPARSE_SEQ_CAP
+        dense_rows = np.nonzero(dense_mask)[0]
+        nd = len(dense_rows) + 1  # index 0 = reserved all-zero row
+        if nd > 65535:
+            return False
+        src = np.zeros(n_pad, dtype=np.uint16)
+        dense_id = np.zeros(max(ne, 1), dtype=np.int64)
+        dense_id[dense_rows] = 1 + np.arange(len(dense_rows))
+        if ne:
+            src[:ne] = np.where(dense_mask, dense_id[:ne],
+                                dense_id[rep]).astype(np.uint16)
+        mhi &= ~dense_mask[:, None]
+        mlo &= ~dense_mask[:, None]
+        scnt = np.zeros(n_pad, dtype=np.uint8)
+        scnt[:ne] = np.where(dense_mask, 0, cnt).astype(np.uint8)
+        r1, c1 = np.nonzero(mhi)
+        r2, c2 = np.nonzero(mlo)
+        erow = np.concatenate([r1, r2])
+        epos_all = np.concatenate([c1 * 2, c2 * 2 + 1])
+        order = np.lexsort((epos_all, erow))
+        erow = erow[order]
+        epos_all = epos_all[order]
+        byte = X[erow, epos_all // 2]
+        ecode = np.where(epos_all % 2 == 0, byte >> 4, byte & 15).astype(np.uint8)
+        epos = epos_all.astype(np.uint8)
+        E = len(epos)
+
+        # ---- qual: base value + (pos, val) edits; overflow rows raw ----
+        sel = cidx[:ne]
+        Q = None
+        if ne:
+            if use_native:
+                from gencore_tpu.io import native
+                Q = native.copy_rows(batch.data, batch.qual_off[sel],
+                                     ln.astype(np.int32), w)
+            if Q is None:
+                Q = batch.qual_matrix(sel, w)
+        else:
+            Q = np.zeros((0, w), dtype=np.uint8)
+        base = np.zeros(n_pad, dtype=np.uint8)
+        if ne:
+            base[:ne] = np.where(ln > 0, Q[:, 0], 0)
+        colw = np.arange(w, dtype=np.int32)
+        Dq = (Q != base[:ne, None]) & (colw[None, :] < ln[:, None])
+        qcnt_full = Dq.sum(axis=1)
+        over_q = qcnt_full > _SPARSE_QUAL_CAP
+        nq = int(over_q.sum())
+        if nq > 65534:
+            return False
+        q_src = np.zeros(n_pad, dtype=np.uint16)
+        qd = np.zeros((max(nq, 1), w), dtype=np.uint8)
+        if nq:
+            qrows = np.nonzero(over_q)[0]
+            q_src[qrows] = 1 + np.arange(nq, dtype=np.int64)
+            qd[:nq] = Q[qrows]
+            Dq &= ~over_q[:, None]
+        qcnt = np.zeros(n_pad, dtype=np.uint8)
+        qcnt[:ne] = np.where(over_q, 0, qcnt_full).astype(np.uint8)
+        qr, qc = np.nonzero(Dq)  # C-order: already grouped by row
+        qpos = qc.astype(np.uint8)
+        qval = Q[qr, qc]
+        Eq = len(qpos)
+
+        # ---- dense subset packing (2-bit when pure ACGT) ----
+        sub = self.seq_packed[dense_rows]
+        sub_lens = ln[dense_rows].astype(np.int32)
+        ow = (pw + 1) // 2
+        mode2 = False
+        sd = None
+        if len(dense_rows):
+            s2 = np.zeros((nd, ow), dtype=np.uint8)
+            st = -1
+            if use_native:
+                from gencore_tpu.io import native
+                st = native.pack2_rows(np.ascontiguousarray(sub), sub_lens,
+                                       _NIB2B, _PAIR_ACGT, _HI_ACGT, s2[1:])
+            if st == -1:
+                colsp = np.arange(pw, dtype=np.int64)[None, :]
+                ql64 = sub_lens.astype(np.int64)[:, None]
+                in_full = colsp < (ql64 // 2)
+                odd_pos = (colsp == ql64 // 2) & (ql64 % 2 == 1)
+                bad = (~_PAIR_ACGT[sub] & in_full) | (~_HI_ACGT[sub] & odd_pos)
+                if not bad.any():
+                    v = _NIB2B[sub]
+                    if pw % 2:
+                        v = np.pad(v, ((0, 0), (0, 1)))
+                    s2[1:] = (v[:, 0::2] << 4) | v[:, 1::2]
+                    st = 1
+            if st == 1:
+                mode2 = True
+                sd = s2
+        if sd is None:
+            sd = np.zeros((nd, pw), dtype=np.uint8)
+            if len(dense_rows):
+                sd[1:] = sub
+
+        p2 = self._pad_pow2
+        nd2 = _next_pow2(nd) if p2 else nd
+        sd = np.pad(sd, ((0, nd2 - nd), (0, 0)))
+        if nq:
+            nq2 = _next_pow2(nq + 1) if p2 else nq + 1
+            qd = np.pad(qd, ((0, nq2 - qd.shape[0]), (0, 0)))
+        if E:
+            E2 = _next_pow2(E) if p2 else E
+            epos = np.pad(epos, (0, E2 - E))
+            ecode = np.pad(ecode, (0, E2 - E))
+        if Eq:
+            Eq2 = _next_pow2(Eq) if p2 else Eq
+            qpos = np.pad(qpos, (0, Eq2 - Eq))
+            qval = np.pad(qval, (0, Eq2 - Eq))
+        z1 = np.zeros(1, dtype=np.uint8)
+        self._sup = dict(
+            mode2=mode2, sd=sd, src=src,
+            has_sedit=E > 0,
+            scnt=scnt if E else z1, epos=epos if E else z1,
+            ecode=ecode if E else z1,
+            base=base,
+            has_qdense=nq > 0,
+            q_src=q_src if nq else np.zeros(1, dtype=np.uint16),
+            qd=qd if nq else np.zeros((1, 1), dtype=np.uint8),
+            has_qedit=Eq > 0,
+            qcnt=qcnt if Eq else z1, qpos=qpos if Eq else z1,
+            qval=qval if Eq else z1,
+            lens16=self.lens.astype(np.uint16))
+        return True
+
     def upload(self):
         """Dispatch the async host->device upload; returns device-resident
-        (seq_dev, qual_dev) [n_pad, L] uint8 matrices."""
+        (seq_dev, qual_dev, lens_dev): [n_pad, L] uint8 matrices plus the
+        int32 per-row lengths (consumed by the packed score kernel so the
+        lengths never ship twice)."""
+        if self.upload_mode == "sparse":
+            s = self._sup
+            return _upload_sparse_fn(
+                self.w_host, self.L, s["mode2"], s["has_sedit"],
+                s["has_qdense"], s["has_qedit"])(
+                s["sd"], s["src"], s["scnt"], s["epos"], s["ecode"],
+                s["base"], s["q_src"], s["qd"], s["qcnt"], s["qpos"],
+                s["qval"], s["lens16"])
         return _upload_unpack_fn(
             self.w_host, self.L, self.qual_mode, self.seq_mode)(
             self.seq_up, self.qual_up, self.lens, self.qtable16)

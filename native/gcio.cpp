@@ -278,6 +278,30 @@ int64_t gc_bam_scan(const uint8_t* payload, int64_t len, int64_t body_start,
   return n;
 }
 
+// Like gc_bam_scan but stops cleanly at a trailing partial record instead
+// of failing: used by the streaming index pass, whose fixed-size chunks cut
+// records mid-stream (the caller carries the tail into the next chunk).
+// *consumed = bytes of complete records handled; offsets[n] = consumed.
+int64_t gc_bam_scan_partial(const uint8_t* payload, int64_t len,
+                            int64_t body_start, int64_t* offsets,
+                            int64_t offsets_cap, int64_t* consumed) {
+  int64_t p = body_start;
+  int64_t n = 0;
+  while (p + 4 <= len) {
+    int32_t bs;
+    memcpy(&bs, payload + p, 4);
+    if (bs < 32) return -1;
+    if (p + 4 + bs > len) break;
+    if (n + 1 >= offsets_cap) return -2;  // caller must grow
+    offsets[n] = p + 4;
+    ++n;
+    p += 4 + bs;
+  }
+  offsets[n] = p;
+  *consumed = p;
+  return n;
+}
+
 // ------------------------- compression -------------------------
 
 // Compress payload to BGZF at `path`. Returns 0 on success. Blocks of
