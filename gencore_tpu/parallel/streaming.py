@@ -283,7 +283,12 @@ def run_streaming(opt: Options, path: str, out_path: str,
     sbam._parse_header(buf0)
     header = sbam.header
     probe = VectorEngine(opt, header, fasta=None)
+    import time as _time
+    _ti0 = _time.perf_counter()
     index = sbam.build_index(per_chunk=per_chunk)
+    if stage_totals is not None:
+        stage_totals["index"] = (stage_totals.get("index", 0.0)
+                                 + _time.perf_counter() - _ti0)
 
     pre = Stats(opt.coverage_step, header.names, header.lengths,
                 bed_stats=bed, is_post=False)
@@ -323,7 +328,9 @@ def run_streaming(opt: Options, path: str, out_path: str,
         return Options(**{f.name: getattr(opt, f.name)
                           for f in opt.__dataclass_fields__.values()})
 
-    done_q: "queue.Queue" = queue.Queue(maxsize=2)
+    # 3 windows in flight: the collector's blocking D2H window overlaps
+    # both the next window's host prep AND the one after's decode
+    done_q: "queue.Queue" = queue.Queue(maxsize=3)
     err: list = []
     stats_engines: list = []
 

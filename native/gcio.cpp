@@ -302,6 +302,95 @@ int64_t gc_bam_scan_partial(const uint8_t* payload, int64_t len,
   return n;
 }
 
+// Duplicate-aware upload staging: per-row nibble diff vs a representative
+// row of the same packed matrix. For row i with rep r = rep_idx[i], emits
+// up to `cap` (pos, code) edits where the nibble at pos (< lens[i])
+// differs from the rep's; cnt[i] > cap marks overflow (row ships dense).
+// pos/code land in fixed [n, cap] slots; rows where rep == self get cnt 0.
+void gc_seq_edits(const uint8_t* packed, int64_t n, int64_t pw,
+                  const int64_t* rep_idx, const int32_t* lens, int cap,
+                  uint8_t* cnt, uint8_t* pos, uint8_t* code, int n_threads) {
+  int nt = hw_threads(n_threads);
+  std::atomic<int64_t> next(0);
+  const int64_t kChunk = 512;
+  auto worker = [&]() {
+    for (;;) {
+      int64_t lo = next.fetch_add(kChunk);
+      if (lo >= n) break;
+      int64_t hi = std::min(lo + kChunk, n);
+      for (int64_t i = lo; i < hi; ++i) {
+        int64_t r = rep_idx[i];
+        if (r == i) { cnt[i] = 0; continue; }
+        const uint8_t* x = packed + i * pw;
+        const uint8_t* y = packed + r * pw;
+        int32_t l = lens[i];
+        if (l > 2 * pw) l = (int32_t)(2 * pw);
+        int64_t nb = (l + 1) / 2;
+        uint8_t* prow = pos + i * cap;
+        uint8_t* crow = code + i * cap;
+        int c = 0;
+        for (int64_t j = 0; j < nb; ++j) {
+          uint8_t d = (uint8_t)(x[j] ^ y[j]);
+          if (!d) continue;
+          if ((d >> 4) && 2 * j < l) {
+            if (c < cap) { prow[c] = (uint8_t)(2 * j); crow[c] = x[j] >> 4; }
+            ++c;
+          }
+          if ((d & 0xF) && 2 * j + 1 < l) {
+            if (c < cap) { prow[c] = (uint8_t)(2 * j + 1); crow[c] = x[j] & 0xF; }
+            ++c;
+          }
+          if (c > cap) break;
+        }
+        cnt[i] = (uint8_t)(c > cap ? 255 : c);
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < nt; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& t : threads) t.join();
+}
+
+// Qual staging: per-record base value (first byte) + up to `cap` (pos, val)
+// deviations from it within lens[i]; cnt 255 marks overflow (row ships
+// raw). Reads straight from the BAM payload via qual_off.
+void gc_qual_edits(const uint8_t* data, const int64_t* qual_off, int64_t n,
+                   const int32_t* lens, int cap, uint8_t* base, uint8_t* cnt,
+                   uint8_t* pos, uint8_t* val, int n_threads) {
+  int nt = hw_threads(n_threads);
+  std::atomic<int64_t> next(0);
+  const int64_t kChunk = 512;
+  auto worker = [&]() {
+    for (;;) {
+      int64_t lo = next.fetch_add(kChunk);
+      if (lo >= n) break;
+      int64_t hi = std::min(lo + kChunk, n);
+      for (int64_t i = lo; i < hi; ++i) {
+        const uint8_t* q = data + qual_off[i];
+        int32_t l = lens[i];
+        if (l <= 0) { base[i] = 0; cnt[i] = 0; continue; }
+        uint8_t b = q[0];
+        base[i] = b;
+        uint8_t* prow = pos + i * cap;
+        uint8_t* vrow = val + i * cap;
+        int c = 0;
+        for (int32_t j = 1; j < l; ++j) {
+          if (q[j] != b) {
+            if (c < cap) { prow[c] = (uint8_t)j; vrow[c] = q[j]; }
+            if (++c > cap) break;
+          }
+        }
+        cnt[i] = (uint8_t)(c > cap ? 255 : c);
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < nt; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& t : threads) t.join();
+}
+
 // ------------------------- compression -------------------------
 
 // Compress payload to BGZF at `path`. Returns 0 on success. Blocks of

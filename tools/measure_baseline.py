@@ -45,12 +45,13 @@ def main():
         sb.add_pair(0, 100, 200)
         sb.write_bam(empty_bam)
 
-    def run(bam, out):
+    def run(bam, out, flags=()):
         t0 = time.perf_counter()
         p = subprocess.run(
             [REF_BIN, "-i", bam, "-r", fa_path, "-o", out,
              "-j", os.path.join(BENCH_DIR, "ref_baseline.json"),
-             "--html", os.path.join(BENCH_DIR, "ref_baseline.html")],
+             "--html", os.path.join(BENCH_DIR, "ref_baseline.html")]
+            + list(flags),
             capture_output=True, timeout=3600)
         dt = time.perf_counter() - t0
         if p.returncode != 0:
@@ -64,6 +65,20 @@ def main():
     med = statistics.median(runs)
     consensus_s = max(med - empty_s, 1e-3)
     rps = n_reads / consensus_s
+
+    # per-config reference baselines (BASELINE.md's five tracked configs)
+    configs = {"defaults": round(rps, 1)}
+    for name, _kw, flags, wl in bench.bench_configs():
+        if name == "defaults":
+            continue
+        cbam = bam_path if wl is None else bench.make_ultradeep_workload()[0]
+        flags = [bench.make_bed() if a == "__BED__" else a for a in flags]
+        nr = n_reads if wl is None else bamio.BamReader(cbam).read_all().n
+        ts = [run(cbam, os.path.join(BENCH_DIR, f"ref_{name}_out.bam"),
+                  flags) for _ in range(2)]
+        cs = max(min(ts) - empty_s, 1e-3)
+        configs[name] = round(nr / cs, 1)
+
     result = {
         "binary": "gencore_ref(0.17.2)+htsshim",
         "reads_per_sec": round(rps, 1),
@@ -71,6 +86,7 @@ def main():
         "elapsed_s": round(consensus_s, 2),
         "total_runs_s": [round(r, 2) for r in runs],
         "fasta_load_s": round(empty_s, 2),
+        "configs": configs,
         "host": "single-core, this machine",
     }
     with open(os.path.join(BENCH_DIR, "baseline_ref.json"), "w") as f:
