@@ -86,10 +86,11 @@ def make_workload():
 
 
 def make_ultradeep_workload():
-    """Ultra-deep amplicon-style workload (BASELINE.md config 5): a few
-    loci with >1000-pair position clusters, so the low-complexity
-    threshold paths, deep greedy UMI grouping, and large-k vote buckets
-    all engage. ~24k reads."""
+    """Ultra-deep amplicon-style workload (BASELINE.md config 5): loci
+    with >1000-pair position clusters, so the low-complexity threshold
+    paths, deep greedy UMI grouping, and large-k vote buckets all engage.
+    ~120k reads (large enough that the reference-baseline FASTA-load
+    subtraction noise is negligible)."""
     os.makedirs(BENCH_DIR, exist_ok=True)
     bam_path = os.path.join(BENCH_DIR, "bench_ultradeep.bam")
     fa_path = os.path.join(BENCH_DIR, "bench_ref.fa")
@@ -103,9 +104,9 @@ def make_ultradeep_workload():
     rng = np.random.default_rng(21)
     sb = SyntheticBam(seed=21, contig_len=8_000_000, n_contigs=2)
     umis = ["AAAA", "CCCC", "GGGG", "TTTT", "ACGT", "TGCA", "GATC", "CTAG"]
-    for locus in range(8):
+    for locus in range(40):
         tid = locus % 2
-        pos1 = 500_000 + 900_000 * (locus // 2)
+        pos1 = 200_000 + 380_000 * (locus // 2)
         pos2 = pos1 + 160
         for _ in range(1500):
             a, b = rng.choice(umis, size=2, replace=False)

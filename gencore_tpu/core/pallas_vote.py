@@ -226,7 +226,7 @@ def _pallas_stage_gathered(seq_dev, qual_dev, score_dev, rows_t, refbase,
 def _epilogue_core(cseq, cqual, chg, minc_pos, seq0, qual0,
                    job_len, *, hi, mod, lo, base_score_req, ratio_num,
                    ratio_den, out_len=None, sparse=False,
-                   n_diffs=SPARSE_DIFFS, n_runs=SPARSE_RUNS):
+                   n_diffs=SPARSE_DIFFS, n_runs=SPARSE_RUNS, qtable=None):
     """Per-read rollback + output packing. new_seq ships 4-bit packed
     (BAM nibble layout, first base in the high nibble) — the transport
     has no wire compression, so halving the seq bytes halves its
@@ -236,9 +236,13 @@ def _epilogue_core(cseq, cqual, chg, minc_pos, seq0, qual0,
     arrays stay device-resident for overflow fallback):
       * seq as up to `n_diffs` (position, base) edits vs the template row
         (the consensus equals the template except at changed positions,
-        group.cpp:504-516), plus the true edit count;
+        group.cpp:504-516), plus the true edit count; edit bases are
+        nibble-PAIRED (2 per byte);
       * qual as up to `n_runs` run-length (start, value) pairs, plus the
-        true run count.
+        true run count; when `qtable` (a device [16] u8 candidate table,
+        see engine._vote_qual_table) is given, run values ship as nibble
+        pairs of table indices with a `bad` escape counter — the host
+        dense-pulls any bucket whose values escaped the closure.
     Requires out_len <= 256 so positions fit a byte (checked by caller).
     """
     J, L = cseq.shape
@@ -274,6 +278,8 @@ def _epilogue_core(cseq, cqual, chg, minc_pos, seq0, qual0,
         sb.append(jnp.take_along_axis(new_seq, pos[:, None], axis=1)[:, 0])
     sp = jnp.stack(sp, axis=1).astype(jnp.uint8)
     sb = jnp.stack(sb, axis=1).astype(jnp.uint8)
+    # edit bases are 4-bit codes: pair them (n_diffs must be even)
+    sbp = (sb[:, 0::2] << 4) | sb[:, 1::2]
 
     # ---- qual runs
     q = new_qual.astype(I32)
@@ -290,9 +296,28 @@ def _epilogue_core(cseq, cqual, chg, minc_pos, seq0, qual0,
     qv = jnp.stack(qv, axis=1).astype(jnp.uint8)
     nr = b.sum(axis=1)
 
-    enc = (qv, qs, jnp.minimum(nr, 255).astype(jnp.uint8),
-           sp, sb, jnp.minimum(nd, 255).astype(jnp.uint8),
-           diff.astype(jnp.int16), minc.astype(jnp.int16))
+    if qtable is not None:
+        # run values as nibble-paired table indices; `bad` counts escapes
+        # (host falls back to the dense pull for the whole bucket)
+        qenc = jnp.zeros(qv.shape, jnp.uint8)
+        qdec = jnp.zeros(qv.shape, jnp.uint8)
+        for i in range(1, 16):
+            hit = qv == qtable[i]
+            qenc = jnp.where(hit, jnp.uint8(i), qenc)
+            qdec = jnp.where(hit, qtable[i], qdec)
+        vrun = jnp.arange(n_runs, dtype=I32)[None, :] < jnp.minimum(
+            nr, n_runs)[:, None]
+        bad = jnp.sum(((qdec != qv) & vrun).astype(I32))
+        qvp = (qenc[:, 0::2] << 4) | qenc[:, 1::2]
+        enc = (qvp, qs, jnp.minimum(nr, 255).astype(jnp.uint8),
+               sp, sbp, jnp.minimum(nd, 255).astype(jnp.uint8),
+               diff.astype(jnp.int16), minc.astype(jnp.int16),
+               bad.astype(jnp.int32))
+    else:
+        enc = (qv, qs, jnp.minimum(nr, 255).astype(jnp.uint8),
+               sp, sbp, jnp.minimum(nd, 255).astype(jnp.uint8),
+               diff.astype(jnp.int16), minc.astype(jnp.int16),
+               jnp.zeros((), jnp.int32))
     return pseq, new_qual, diff, minc, enc
 
 
@@ -305,8 +330,8 @@ _epilogue = functools.partial(jax.jit, static_argnames=(
     "hi", "mod", "lo", "base_score_req", "ratio_num", "ratio_den", "out_len",
     "sparse", "n_diffs", "n_runs"))
 def _epilogue_gathered(cseq, cqual, chg, minc_pos, seq_dev, qual_dev, row0,
-                       job_len, *, hi, mod, lo, base_score_req, ratio_num,
-                       ratio_den, out_len=None, sparse=False,
+                       job_len, qtable=None, *, hi, mod, lo, base_score_req,
+                       ratio_num, ratio_den, out_len=None, sparse=False,
                        n_diffs=SPARSE_DIFFS, n_runs=SPARSE_RUNS):
     """Epilogue variant for the fused-gather path: the template rows are
     fetched from the device-resident matrices inside the same jit."""
@@ -316,7 +341,7 @@ def _epilogue_gathered(cseq, cqual, chg, minc_pos, seq_dev, qual_dev, row0,
                           hi=hi, mod=mod, lo=lo,
                           base_score_req=base_score_req, ratio_num=ratio_num,
                           ratio_den=ratio_den, out_len=out_len, sparse=sparse,
-                          n_diffs=n_diffs, n_runs=n_runs)
+                          n_diffs=n_diffs, n_runs=n_runs, qtable=qtable)
 
 
 def pallas_vote(seq, qual, score, valid, job_len, refbase, *, hi, mod, lo,
@@ -357,65 +382,96 @@ def pallas_vote(seq, qual, score, valid, job_len, refbase, *, hi, mod, lo,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "K", "hi", "mod", "lo", "base_score_req", "ratio_num", "ratio_den",
-    "tj", "interpret", "out_len", "sparse"))
-def _pallas_contig_all(seq_dev, qual_dev, score_dev, base_row, counts, jl,
-                       refbase_dev, ridx, *, K, hi, mod, lo, base_score_req,
-                       ratio_num, ratio_den, tj, interpret, out_len, sparse):
-    """Whole vote bucket in ONE device program for group-contiguous member
-    rows: member row k of job j is base_row[j] + k (the work-row layout
-    places each (group, side) segment's members consecutively with the
-    template at the head), so no [J, K] row/valid matrices ship — rows
-    come from an iota, validity from the member count, the refbase rows
-    from an on-device gather, and the epilogue (rollback + sparse wire
-    encoding) runs in the same program. Wire cost: 11 B/job in, the
-    sparse encoding out."""
+    "classes", "L", "hi", "mod", "lo", "base_score_req", "ratio_num",
+    "ratio_den", "tjs", "interpret", "out_len"))
+def _pallas_window_all(seq_dev, qual_dev, score_dev, genome, gp, hr, hm, jp,
+                       qtable, *class_args, classes, L, hi, mod, lo,
+                       base_score_req, ratio_num, ratio_den, tjs, interpret,
+                       out_len):
+    """EVERY fast vote bucket of one window in ONE device program:
+    refbase assembly (genome slice-gather + host rows), per-k-class member
+    gather + pallas vote + rollback/sparse-encode epilogue, and the
+    cross-class wire concat — the remote transport charges ~30-50ms per
+    execute, so the whole window's voting is one round trip. Returns
+    (flat u8 wire buffer, refbase_dev, [per-class (pseq, qual) dense
+    fallbacks]). The flat layout matches engine._concat_sparse_fn:
+    [qv | qs | nr | sp | sb | nd | df | mc | bads]."""
     kw = dict(hi=hi, mod=mod, lo=lo, base_score_req=base_score_req,
               ratio_num=ratio_num, ratio_den=ratio_den)
+    # refbase for ALL fast jobs (engine._refbase_device semantics)
+    hm32 = hm.astype(I32)
+    g = jax.vmap(lambda s: jax.lax.dynamic_slice(genome, (s,), (L,)))(gp)
+    keep = (jnp.arange(L, dtype=I32)[None, :]
+            < jp.astype(I32)[:, None])
+    g = jnp.where(keep, g, 0)
+    h = hr[jnp.clip(hm32, 0, hr.shape[0] - 1)]
+    refbase_dev = jnp.where((hm32 < 0)[:, None], g, h)
+
     n_pad = seq_dev.shape[0]
-    br = base_row.astype(I32)
-    k_iota = jnp.arange(K, dtype=I32)[:, None]
-    rows_t = jnp.clip(br[None, :] + k_iota, 0, n_pad - 1)
-    valid = k_iota < counts[None, :].astype(I32)
-    refbase = refbase_dev[ridx.astype(I32)]
-    cseq, cqual, chg, minc_pos = _pallas_core(
-        seq_dev[rows_t], qual_dev[rows_t], score_dev[rows_t], refbase,
-        valid, tj=tj, interpret=interpret, **kw)
-    seq0 = seq_dev[br]
-    qual0 = qual_dev[br]
-    return _epilogue_core(cseq, cqual, chg, minc_pos, seq0, qual0,
-                          jl.astype(I32), out_len=out_len, sparse=sparse,
-                          **kw)
+    parts = [[] for _ in range(8)]
+    bads = []
+    dense = []
+    for ci, (K, _J2) in enumerate(classes):
+        base_row, counts, jl, ridx = class_args[4 * ci:4 * ci + 4]
+        br = base_row.astype(I32)
+        k_iota = jnp.arange(K, dtype=I32)[:, None]
+        rows_t = jnp.clip(br[None, :] + k_iota, 0, n_pad - 1)
+        valid = k_iota < counts[None, :].astype(I32)
+        refbase = refbase_dev[ridx.astype(I32)]
+        cseq, cqual, chg, minc_pos = _pallas_core(
+            seq_dev[rows_t], qual_dev[rows_t], score_dev[rows_t], refbase,
+            valid, tj=tjs[ci], interpret=interpret, **kw)
+        res = _epilogue_core(cseq, cqual, chg, minc_pos, seq_dev[br],
+                             qual_dev[br], jl.astype(I32), out_len=out_len,
+                             sparse=True, qtable=qtable, **kw)
+        enc = res[4]
+        for k in range(8):
+            parts[k].append(enc[k])
+        bads.append(enc[8].reshape(()))
+        dense.append((res[0], res[1]))
+    cat = [jnp.concatenate(p, axis=0) if len(p) > 1 else p[0]
+           for p in parts]
+    qv, qs, nr, sp, sb, nd, df16, mc16 = cat
+    flat = jnp.concatenate([
+        qv.reshape(-1), qs.reshape(-1), nr.reshape(-1),
+        sp.reshape(-1), sb.reshape(-1), nd.reshape(-1),
+        jax.lax.bitcast_convert_type(df16, jnp.uint8).reshape(-1),
+        jax.lax.bitcast_convert_type(mc16, jnp.uint8).reshape(-1),
+        jax.lax.bitcast_convert_type(jnp.stack(bads), jnp.uint8).reshape(-1),
+    ])
+    return flat, refbase_dev, dense
 
 
-def pallas_vote_contig(seq_dev, qual_dev, score_dev, base_row, counts,
-                       job_len, refbase_dev, ridx, *, K, hi, mod, lo,
-                       base_score_req, ratio_num, ratio_den, tj=256,
-                       interpret=False, out_len=None, sparse=False):
-    """One-execute bucket dispatch (see _pallas_contig_all) with the
-    VMEM-OOM tile self-tuning of pallas_vote."""
-    tj = _TJ_USED.get(tj, tj)
-    cur = tj
+def pallas_vote_window(seq_dev, qual_dev, score_dev, genome, gp, hr, hm, jp,
+                       qtable, class_args, *, classes, L, hi, mod, lo,
+                       base_score_req, ratio_num, ratio_den,
+                       interpret=False, out_len=None):
+    """One-execute whole-window vote dispatch (see _pallas_window_all)
+    with per-class VMEM tile self-tuning."""
+    tjs0 = tuple(max(8, min(32, 1024 // K)) for K, _ in classes)
+    tjs0 = tuple(min(t, j2) for t, (_, j2) in zip(tjs0, classes))
+    tjs = tuple(_TJ_USED.get(("w", K), t) for t, (K, _) in zip(tjs0, classes))
     while True:
         try:
-            return _pallas_contig_all(
-                seq_dev, qual_dev, score_dev, base_row, counts, job_len,
-                refbase_dev, ridx, K=K, hi=hi, mod=mod, lo=lo,
-                base_score_req=base_score_req, ratio_num=ratio_num,
-                ratio_den=ratio_den, tj=cur, interpret=interpret,
-                out_len=out_len, sparse=sparse)
+            return _pallas_window_all(
+                seq_dev, qual_dev, score_dev, genome, gp, hr, hm, jp,
+                qtable, *class_args, classes=classes, L=L, hi=hi, mod=mod,
+                lo=lo, base_score_req=base_score_req, ratio_num=ratio_num,
+                ratio_den=ratio_den, tjs=tjs, interpret=interpret,
+                out_len=out_len)
         except Exception as e:  # jax.errors.JaxRuntimeError on compile OOM
-            if cur > 8 and "vmem" in str(e).lower():
-                _TJ_USED[tj] = cur // 2
-                cur //= 2
+            if max(tjs) > 8 and "vmem" in str(e).lower():
+                tjs = tuple(max(8, t // 2) for t in tjs)
+                for t, (K, _) in zip(tjs, classes):
+                    _TJ_USED[("w", K)] = t
                 continue
             raise
 
 
 def pallas_vote_gathered(seq_dev, qual_dev, score_dev, rows_t, row0, valid,
-                         job_len, refbase, *, hi, mod, lo, base_score_req,
-                         ratio_num, ratio_den, tj=256, interpret=False,
-                         out_len=None, sparse=False):
+                         job_len, refbase, qtable=None, *, hi, mod, lo,
+                         base_score_req, ratio_num, ratio_den, tj=256,
+                         interpret=False, out_len=None, sparse=False):
     """pallas_vote with the member gather and template-row fetch fused
     into the device programs: 2 executes per bucket (stage + epilogue)
     instead of 3 — per-execute latency is ~30ms on the remote transport.
@@ -440,7 +496,7 @@ def pallas_vote_gathered(seq_dev, qual_dev, score_dev, rows_t, row0, valid,
     _TJ_USED[tj] = cur
     return _epilogue_gathered(cseq, cqual, chg, minc_pos, seq_dev, qual_dev,
                               jnp.asarray(row0, dtype=I32),
-                              jnp.asarray(job_len, dtype=I32),
+                              jnp.asarray(job_len, dtype=I32), qtable,
                               out_len=out_len, sparse=sparse, **kw)
 
 

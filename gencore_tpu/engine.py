@@ -697,18 +697,26 @@ class VectorEngine:
             # device_put path can be orders of magnitude slower than
             # execute-argument transfer.
             import jax
-            with _T("materialize.updispatch"):
-                seq_dev, qual_dev, lens_dev = work.upload()
-                if work.upload_mode == "sparse":
-                    self._acct_up(*[v for v in work._sup.values()
-                                    if isinstance(v, np.ndarray)])
-                else:
-                    self._acct_up(work.seq_up, work.qual_up, work.lens,
-                                  work.qtable16)
-            if _SYNC_STAGES:
-                with _T("materialize.upwait"):
-                    jax.block_until_ready(seq_dev)
-                    jax.block_until_ready(qual_dev)
+            # sparse uploads defer to the fused upload+score program
+            # (dispatched at the score stage, after election): one device
+            # execute instead of two
+            defer_up = (work.upload_mode == "sparse"
+                        and work.n_pad <= (1 << 16))
+            if defer_up:
+                seq_dev = qual_dev = lens_dev = None
+            else:
+                with _T("materialize.updispatch"):
+                    seq_dev, qual_dev, lens_dev = work.upload()
+                    if work.upload_mode == "sparse":
+                        self._acct_up(*[v for v in work._sup.values()
+                                        if isinstance(v, np.ndarray)])
+                    else:
+                        self._acct_up(work.seq_up, work.qual_up, work.lens,
+                                      work.qtable16)
+                if _SYNC_STAGES:
+                    with _T("materialize.upwait"):
+                        jax.block_until_ready(seq_dev)
+                        jax.block_until_ready(qual_dev)
 
         rl = work.row_of(pl)
         rr = np.where(has_right, work.row_of(np.where(has_right, pr, pl)), -1)
@@ -725,9 +733,10 @@ class VectorEngine:
                 side_jobs[is_left] = sj
                 flats[is_left] = flat
 
-        # ---- overlap scoring (on device; matrices stay resident) ----
+        # ---- overlap scoring (on device; matrices stay resident; fused
+        # with the deferred sparse upload when applicable) ----
         with _T("score"):
-            score_dev, qual_dev = self._score_pairs_vec(
+            score_dev, qual_dev, seq_dev = self._score_pairs_vec(
                 batch, pl, pr, rl, rr, has_right, ct, mem_pairs, g_start,
                 g_sizes, side_jobs, work, seq_dev, qual_dev, lens_dev)
             if _SYNC_STAGES:
@@ -1160,43 +1169,15 @@ class VectorEngine:
                          seq_dev, qual_dev, lens_dev=None):
         """Overlap scoring for every pair of any group owning >= 1 job
         (reference fetches scores for all group pairs, group.cpp:272,300-304).
-        Runs fully on device; returns (score_dev, qual_dev).
-        """
+        Runs fully on device; returns (score_dev, qual_dev, seq_dev).
+        seq_dev is None on entry when the sparse upload was deferred: the
+        fused upload+score program then builds the resident matrices AND
+        scores in one execute."""
         import jax
         import jax.numpy as jnp
         o = self.opt
-        default = jnp.full((work.n_pad, work.L),
-                           o.score_not_overlapped_moderate_qual,
-                           dtype=jnp.int8)
+        deferred = seq_dev is None
         G = len(g_sizes)
-        if G == 0:
-            return default, qual_dev
-        need_g = (side_jobs[True] >= 0) | (side_jobs[False] >= 0)
-        gidx_of_member = np.repeat(np.arange(G), g_sizes)
-        need_pair_mask = np.zeros(len(pl), dtype=bool)
-        need_pair_mask[mem_pairs[need_g[gidx_of_member]]] = True
-        sel = np.nonzero(need_pair_mask & has_right)[0]
-        if len(sel) == 0:
-            return default, qual_dev
-        lrow = rl[sel]
-        rrow = rr[sel]
-        lmo, lml = ct.m_off[lrow], ct.m_len[lrow]
-        rmo, rml = ct.m_off[rrow], ct.m_len[rrow]
-        okg = (lml > 0) & (rml > 0)
-        if not okg.any():
-            return default, qual_dev
-        lrow, rrow = lrow[okg], rrow[okg]
-        lmo, lml, rmo, rml = lmo[okg], lml[okg], rmo[okg], rml[okg]
-        sel = sel[okg]
-        pos_dis = (batch.pos[pr[sel]].astype(np.int64)
-                   - batch.pos[pl[sel]].astype(np.int64))
-        fwd = pos_dis >= 0
-        ls = np.where(fwd, lmo + pos_dis, lmo)
-        rs = np.where(fwd, rmo, rmo - pos_dis)
-        cl = np.where(fwd, np.minimum(lml - pos_dis, rml),
-                      np.minimum(lml, rml + pos_dis))
-        # per-row formulation: each read row belongs to exactly one pair,
-        # so scoring is a gather/map over all N rows (no TPU scatter)
         N = work.n_pad
         opts = dict(hi=o.high_quality, mod=o.moderate_quality,
                     lo=o.low_quality,
@@ -1205,6 +1186,74 @@ class VectorEngine:
                     s_lo=o.score_not_overlapped_low_qual,
                     s_bad=o.score_not_overlapped_bad_qual)
         _Ts = self.timer.stage
+
+        # geometry of scored pairs (possibly empty)
+        lrow = rrow = None
+        if G:
+            need_g = (side_jobs[True] >= 0) | (side_jobs[False] >= 0)
+            gidx_of_member = np.repeat(np.arange(G), g_sizes)
+            need_pair_mask = np.zeros(len(pl), dtype=bool)
+            need_pair_mask[mem_pairs[need_g[gidx_of_member]]] = True
+            sel = np.nonzero(need_pair_mask & has_right)[0]
+            if len(sel):
+                lr0 = rl[sel]
+                rr0 = rr[sel]
+                lmo, lml = ct.m_off[lr0], ct.m_len[lr0]
+                rmo, rml = ct.m_off[rr0], ct.m_len[rr0]
+                okg = (lml > 0) & (rml > 0)
+                if okg.any():
+                    lrow, rrow = lr0[okg], rr0[okg]
+                    lmo, lml = lmo[okg], lml[okg]
+                    rmo, rml = rmo[okg], rml[okg]
+                    sel = sel[okg]
+                    pos_dis = (batch.pos[pr[sel]].astype(np.int64)
+                               - batch.pos[pl[sel]].astype(np.int64))
+                    fwd = pos_dis >= 0
+                    ls = np.where(fwd, lmo + pos_dis, lmo)
+                    rs = np.where(fwd, rmo, rmo - pos_dis)
+                    cl = np.where(fwd, np.minimum(lml - pos_dis, rml),
+                                  np.minimum(lml, rml + pos_dis))
+
+        if deferred:
+            # fused upload+score (one execute). Empty geometry still runs
+            # the program: all rows unscored -> moderate default + original
+            # quals (pair.cpp:92), which the plain path's `default` mirrors.
+            mate16 = np.arange(N, dtype=np.uint16)
+            meta = np.zeros(N, dtype=np.uint32)
+            if lrow is not None:
+                mate16[lrow] = rrow.astype(np.uint16)
+                mate16[rrow] = lrow.astype(np.uint16)
+                clc = np.clip(cl, 0, 511).astype(np.uint32)
+                empty = clc == 0
+                lsc = np.where(empty, 0,
+                               np.clip(ls, 0, 255)).astype(np.uint32)
+                rsc = np.where(empty, 0,
+                               np.clip(rs, 0, 255)).astype(np.uint32)
+                mrow = np.concatenate([lrow, rrow])
+                mval = np.concatenate([
+                    lsc | (rsc << 8) | (clc << 16) | (1 << 25) | (1 << 26),
+                    rsc | (lsc << 8) | (clc << 16) | (1 << 26)])
+                meta[mrow] = mval
+            s = work._sup
+            self._acct_up(mate16, meta,
+                          *[v for v in s.values()
+                            if isinstance(v, np.ndarray)])
+            with _Ts("score.dispatch"):
+                seq_dev, qual_dev, score_dev = _upload_score_fn(
+                    work.w_host, work.L, s["mode2"], s["has_sedit"],
+                    s["has_qdense"], s["has_qedit"], s["const_lens"],
+                    opts["hi"], opts["mod"], opts["lo"], opts["s_hi"],
+                    opts["s_mod"], opts["s_lo"], opts["s_bad"])(
+                    s["sd"], s["src"], s["scnt"], s["epos"], s["ecode"],
+                    s["base"], s["q_src"], s["qd"], s["qcnt"], s["qpos"],
+                    s["qval"], s["lens16"], mate16, meta)
+            return score_dev, qual_dev, seq_dev
+
+        default = jnp.full((work.n_pad, work.L),
+                           o.score_not_overlapped_moderate_qual,
+                           dtype=jnp.int8)
+        if lrow is None:
+            return default, qual_dev, seq_dev
         if lens_dev is not None and work.w_host <= 256 and N <= (1 << 16):
             # packed wire form: u32 geometry + u16 mate row = 6 B/row
             # (was 22 B across 7 arrays). cmp_len <= 0 (no overlap) clamps
@@ -1226,7 +1275,7 @@ class VectorEngine:
             with _Ts("score.dispatch"):
                 score_dev, qual_dev = kernels.score_map_kernel_packed(
                     seq_dev, qual_dev, lens_dev, mate16, meta, **opts)
-            return score_dev, qual_dev
+            return score_dev, qual_dev, seq_dev
         mate_row = np.arange(N, dtype=np.int32)
         my_start = np.zeros(N, dtype=np.int32)
         mt_start = np.zeros(N, dtype=np.int32)
@@ -1255,7 +1304,7 @@ class VectorEngine:
             score_dev, qual_dev = kernels.score_map_kernel(
                 seq_dev, qual_dev, mate_row, my_start, mt_start, cmp_len,
                 my_len, is_left, scored, **opts)
-        return score_dev, qual_dev
+        return score_dev, qual_dev, seq_dev
 
     # ------------------------------------------------------------------
     def _ref_offsets(self, key: bytes, c: np.ndarray, length: int):
@@ -1346,14 +1395,14 @@ class VectorEngine:
         cache[key] = dev
         return dev
 
-    def _refbase_device(self, jobs: list, batch, ct, work):
-        """Reference rows computed ON DEVICE (group.cpp:362-367,430-439):
-        contiguous all-M cigar classes (the overwhelmingly common case)
-        gather their rows straight from the HBM-resident genome — replacing
-        a [J, L] host build + upload (~20MB/run over a 25MB/s transport)
-        with a [J] int32 upload. Non-contiguous classes (indels/clips
-        shifting ref offsets) still build host rows, shipped compactly.
-        Returns a device [J2, L] uint8 array (J2 = J padded pow2)."""
+    def _refbase_host_args(self, jobs: list, batch, ct, work):
+        """Host-side inputs for the on-device refbase assembly
+        (group.cpp:362-367,430-439): contiguous all-M cigar classes (the
+        overwhelmingly common case) gather straight from the HBM-resident
+        genome via a [J] genome offset; non-contiguous classes
+        (indels/clips shifting ref offsets) build compact host rows.
+        Returns (gp int32[J2], hr uint8[H2, L], hm int16/32[J2],
+        jp uint16[J2])."""
         L = self.work.L
         J = len(jobs)
         tmpl = jobs.col("tmpl_read")
@@ -1412,9 +1461,18 @@ class VectorEngine:
         hr = np.pad(hr, ((0, H2 - hr.shape[0]), (0, 0)))
         gp = np.pad(gpos, (0, J2 - J))
         hm = np.pad(host_map, (0, J2 - J))
-        jp = np.pad(jl32, (0, J2 - J))
+        if hr.shape[0] <= 0x7FFF:
+            hm = hm.astype(np.int16)
+        jp = np.pad(jl32, (0, J2 - J)).astype(np.uint16)
         self._acct_up(gp, hr, hm, jp)
-        return _refbase_combine_fn(L)(self._genome_dev(), gp, hr, hm, jp)
+        return gp, hr, hm, jp
+
+    def _refbase_device(self, jobs: list, batch, ct, work):
+        """Standalone dispatch of the refbase assembly; the fused window
+        vote runs the same combine inside its own program instead."""
+        gp, hr, hm, jp = self._refbase_host_args(jobs, batch, ct, work)
+        return _refbase_combine_fn(self.work.L)(
+            self._genome_dev(), gp, hr, hm, jp)
 
     def _vote_jobs(self, jobs: list, batch, work, flats, full_bins,
                    seq_dev, qual_dev, score_dev, ct):
@@ -1434,12 +1492,25 @@ class VectorEngine:
         # sparse wire encoding needs byte-sized positions (out_len <= 256)
         self._sparse_dl = (use_pallas and self.out_len <= 256
                            and not os.environ.get("GENCORE_NO_SPARSE"))
+        # qual-value nibble table for the sparse encoding (halves the run
+        # values on the wire); decode side reads the same table
+        self._sparse_qtable = (self._vote_qual_table()
+                               if self._sparse_dl else None)
         refbase_all = refbase_dev = None
+        devref_ok = (use_pallas and self._genome is not None
+                     and len(self._genome) < 2**31 - _GENOME_PAD
+                     and L <= _GENOME_PAD
+                     and not os.environ.get("GENCORE_NO_DEVREF"))
+        # the fused window program assembles refbase inside itself; a
+        # standalone dispatch happens lazily only if a leftover bucket
+        # needs it (see below)
+        fuse_window = (devref_ok and self._sparse_dl
+                       and not os.environ.get("GENCORE_NO_CONTIG_VOTE"))
+        refbase_args = None
         with self.timer.stage("vote.refbase"):
-            if (use_pallas and self._genome is not None
-                    and len(self._genome) < 2**31 - _GENOME_PAD
-                    and L <= _GENOME_PAD
-                    and not os.environ.get("GENCORE_NO_DEVREF")):
+            if fuse_window:
+                refbase_args = self._refbase_host_args(jobs, batch, ct, work)
+            elif devref_ok:
                 refbase_dev = self._refbase_device(jobs, batch, ct, work)
             else:
                 refbase_all = self._refbase_all(jobs, batch, ct, work)
@@ -1458,15 +1529,15 @@ class VectorEngine:
         pending = []
         handled = np.zeros(nj, dtype=bool)
 
-        # ---- contiguous fast-job dispatch (1 execute per k-class) ----
+        # ---- fused whole-window vote (ONE device execute) ----
         # The group-contiguous row layout means a fast job's member rows
-        # are base..base+k-1 with the template at base, so the whole
-        # bucket ships as 11 B/job (base u32, count u8, jl u16, ridx u32)
-        # with rows/valid/refbase materialized on device. k-classes are
-        # quantized to {4, 16, pow2 beyond} so few shapes compile and few
-        # executes dispatch (VERDICT r3 #3).
-        if (use_pallas and refbase_dev is not None and nj
-                and not os.environ.get("GENCORE_NO_CONTIG_VOTE")):
+        # are base..base+k-1 with the template at base, so every k-class
+        # ships 9-11 B/job (base, count, jl, ridx) and the whole window's
+        # refbase assembly + gathers + pallas votes + sparse encodes +
+        # wire concat run in one program (VERDICT r3 #3). k-classes are
+        # quantized to {4, 16, pow2<=256}; deeper/non-contiguous jobs
+        # (rare) take the gathered per-bucket path below.
+        if fuse_window and nj:
             from gencore_tpu.core import pallas_vote as _pv
             fl = flats[True]
             fr = flats[False]
@@ -1495,10 +1566,12 @@ class VectorEngine:
                 contig[sel] &= (cb[last] - cb[fs_s]) == 0
             cls = np.where(k_col <= 4, 4,
                            np.where(k_col <= 16, 16, kb_col))
-            # counts ship as u8 and VMEM holds [K, tj, L] member blocks
-            # (K=256 probe-verified on v5e); deeper jobs (rare) take the
-            # gathered per-bucket path
             contig &= k_col <= 255
+            classes = []
+            class_args = []
+            entries = []
+            rdt = np.uint16 if work.n_pad <= (1 << 16) else np.uint32
+            jdt = np.uint16 if nj <= 0xFFFF else np.uint32
             for K in (np.unique(cls[contig]) if contig.any() else ()):
                 K = int(K)
                 jlist = np.nonzero(contig & (cls == K))[0]
@@ -1507,34 +1580,44 @@ class VectorEngine:
                 tj0 = max(8, min(32, 1024 // K))
                 if J2 % tj0:
                     J2 += tj0 - J2 % tj0
-                base_row = np.full(J2, work.dummy_row, dtype=np.uint32)
+                base_row = np.full(J2, work.dummy_row, dtype=rdt)
                 base_row[:J] = base_all[jlist]
                 counts = np.zeros(J2, dtype=np.uint8)
                 counts[:J] = k_col[jlist]
                 jl_arr = np.zeros(J2, dtype=np.uint16)
                 jl_arr[:J] = jl_col[jlist]
-                ridx = np.zeros(J2, dtype=np.uint32)
+                ridx = np.zeros(J2, dtype=jdt)
                 ridx[:J] = jlist
                 self._acct_up(base_row, counts, jl_arr, ridx)
-                res = _pv.pallas_vote_contig(
-                    seq_dev, qual_dev, score_dev, base_row, counts, jl_arr,
-                    refbase_dev, ridx, K=K, hi=o.high_quality,
-                    mod=o.moderate_quality, lo=o.low_quality,
-                    base_score_req=o.base_score_req, ratio_num=rnum,
-                    ratio_den=rden, tj=min(tj0, J2), out_len=self.out_len,
-                    sparse=bool(self._sparse_dl),
-                    interpret=getattr(self, "_pallas_interpret", False))
+                classes.append((K, J2))
+                class_args.extend((base_row, counts, jl_arr, ridx))
                 rows0 = np.full(J2, work.dummy_row, dtype=np.int64)
                 rows0[:J] = base_all[jlist]
-                if self._sparse_dl:
-                    out = _PackedOut(list(res[:4]), enc=res[4], rows0=rows0)
-                else:
-                    out = _PackedOut(list(res))
+                entries.append((jlist, None, rows0))
+                handled[jlist] = True
+            if classes:
+                gp, hr, hm, jp = refbase_args
+                flat_dev, refbase_dev, dense = _pv.pallas_vote_window(
+                    seq_dev, qual_dev, score_dev, self._genome_dev(),
+                    gp, hr, hm, jp, self._sparse_qtable, class_args,
+                    classes=tuple(classes), L=work.L, hi=o.high_quality,
+                    mod=o.moderate_quality, lo=o.low_quality,
+                    base_score_req=o.base_score_req, ratio_num=rnum,
+                    ratio_den=rden, out_len=self.out_len,
+                    interpret=getattr(self, "_pallas_interpret", False))
+                entries = [(jl_, dense[i], r0)
+                           for i, (jl_, _, r0) in enumerate(entries)]
                 if _SYNC_STAGES:
                     with _T("vote.device"):
-                        jax.block_until_ready(out.dev_out)
-                pending.append((jlist, out, None))
-                handled[jlist] = True
+                        jax.block_until_ready(flat_dev)
+                pending.append(("wflat", flat_dev, entries))
+
+        if fuse_window and refbase_dev is None and not handled.all():
+            # leftover buckets still need refbase rows
+            with self.timer.stage("vote.refbase"):
+                gp, hr, hm, jp = refbase_args
+                refbase_dev = _refbase_combine_fn(L)(
+                    self._genome_dev(), gp, hr, hm, jp)
 
         for kb in np.unique(kb_col[~handled]) if nj else ():
             jlist = np.nonzero(~handled & (kb_col == kb))[0]
@@ -1611,7 +1694,7 @@ class VectorEngine:
                 outs, overrides = self._vote_pallas(
                     kb, rows, shifts, valid, jl_arr, refbase, shifted_jj,
                     work, batch, seq_dev, qual_dev, score_dev, rnum, rden,
-                    tj0)
+                    tj0, force_dense=fuse_window)
                 if _SYNC_STAGES:
                     with _T("vote.device"):
                         jax.block_until_ready(outs.dev_out)
@@ -1661,15 +1744,20 @@ class VectorEngine:
         charge per-round-trip latency), then XOR-undone vectorized."""
         from gencore_tpu.io import native
         _T = self.timer.stage
-        packed = [(jlist, outs, ov) for jlist, outs, ov in pending
+        wflat = [p for p in pending
+                 if isinstance(p[0], str) and p[0] == "wflat"]
+        rest = [p for p in pending if not isinstance(p[0], str)]
+        packed = [(jlist, outs, ov) for jlist, outs, ov in rest
                   if isinstance(outs, _PackedOut)]
-        plains = [(jlist, outs, ov) for jlist, outs, ov in pending
+        plains = [(jlist, outs, ov) for jlist, outs, ov in rest
                   if not isinstance(outs, _PackedOut)]
         sparse = bool(packed) and packed[0][1].enc is not None
         qtable = (self._vote_qual_table()
                   if packed and not sparse else None)
         if getattr(self, "_warm_only", False):
             import jax as _jx
+            for _, flat_dev, _e in wflat:
+                _jx.block_until_ready(flat_dev)
             if sparse:
                 flat = []
                 for _, outs, _ in packed:
@@ -1688,6 +1776,21 @@ class VectorEngine:
                 _jx.block_until_ready(outs)
             return
         jobs.alloc_results()
+        for _, flat_dev, entries in wflat:
+            with _T("vote.sync"):
+                fb = np.asarray(flat_dev)
+                self.wire_d2h += fb.nbytes
+                ds, dq, df, mc = self._sparse_parse(fb, entries)
+            buf = jobs.add_buffer(ds, dq)
+            off = 0
+            for jl_, _dense, rows0 in entries:
+                j2 = len(rows0)
+                jl = np.asarray(jl_)
+                m = len(jl)
+                jobs.diff[jl] = df[off:off + m]
+                jobs.minc[jl] = mc[off:off + m]
+                jobs.set_rows(jl, buf, off + np.arange(m, dtype=np.int32))
+                off += j2
         if sparse:
             with _T("vote.sync"):
                 ds, dq, df, mc = self._sparse_collect(packed)
@@ -1786,43 +1889,73 @@ class VectorEngine:
             jobs.set_rows(jl, pbuf, np.arange(m, dtype=np.int32))
 
     def _sparse_collect(self, packed):
-        """Decode the sparse wire encoding for all buckets of one window:
-        ONE flat download (~54 B/job), then host-side reconstruction —
-        consensus seq = the template row (host already has it in
-        work.seq_packed) patched with <=C downloaded edits; qual rows
-        expand from <=R run-length pairs. Jobs whose true edit/run counts
-        exceed the caps are pulled densely per bucket (rare).
-
-        Returns (ds, dq, df, mc) shaped like the dense path's outputs."""
-        from gencore_tpu.core.pallas_vote import SPARSE_DIFFS as C
-        from gencore_tpu.core.pallas_vote import SPARSE_RUNS as R
-        from gencore_tpu.io import native
+        """Legacy per-bucket sparse path: concat the buckets' encodings on
+        device, download once, parse."""
         flat = []
         for _, outs, _ in packed:
             flat.extend(outs.enc)
         fb = np.asarray(_concat_sparse_fn(len(packed))(*flat))
         self.wire_d2h += fb.nbytes
-        J2s = [outs.enc[2].shape[0] for _, outs, _ in packed]
+        entries = [(jlist, (outs.dev_out[0], outs.dev_out[1]), outs.rows0)
+                   for jlist, outs, _ in packed]
+        return self._sparse_parse(fb, entries)
+
+    def _sparse_parse(self, fb, entries):
+        """Decode the sparse wire encoding for one window's downloaded
+        flat buffer: consensus seq = the template row (host already has it
+        in work.seq_packed) patched with <=C downloaded edits; qual rows
+        expand from <=R run-length pairs (values via the nibble table when
+        active). Jobs whose true edit/run counts exceed the caps — or a
+        whole bucket whose qual values escaped the table — are pulled
+        densely (rare). entries: [(jlist, (pseq_dev, qual_dev), rows0)].
+
+        Returns (ds, dq, df, mc) shaped like the dense path's outputs."""
+        from gencore_tpu.core.pallas_vote import SPARSE_DIFFS as C
+        from gencore_tpu.core.pallas_vote import SPARSE_RUNS as R
+        from gencore_tpu.io import native
+        J2s = [len(rows0) for _, _, rows0 in entries]
         Jt = sum(J2s)
+        nb = len(entries)
         ol = self.out_len
+        qtab = getattr(self, "_sparse_qtable", None)
         o = 0
-        qv = fb[o:o + Jt * R].reshape(Jt, R); o += Jt * R
+        if qtab is not None:
+            qvp = fb[o:o + Jt * (R // 2)].reshape(Jt, R // 2)
+            o += Jt * (R // 2)
+            qidx = np.empty((Jt, R), dtype=np.uint8)
+            qidx[:, 0::2] = qvp >> 4
+            qidx[:, 1::2] = qvp & 0xF
+            qv = qtab[qidx]
+        else:
+            qv = fb[o:o + Jt * R].reshape(Jt, R); o += Jt * R
         qs = fb[o:o + Jt * R].reshape(Jt, R).astype(np.int32); o += Jt * R
         nr = fb[o:o + Jt].astype(np.int32); o += Jt
         sp = fb[o:o + Jt * C].reshape(Jt, C).astype(np.int64); o += Jt * C
-        sb = fb[o:o + Jt * C].reshape(Jt, C); o += Jt * C
+        sbp = fb[o:o + Jt * (C // 2)].reshape(Jt, C // 2); o += Jt * (C // 2)
+        sb = np.empty((Jt, C), dtype=np.uint8)
+        sb[:, 0::2] = sbp >> 4
+        sb[:, 1::2] = sbp & 0xF
         nd = fb[o:o + Jt].astype(np.int32); o += Jt
         df = fb[o:o + 2 * Jt].view(np.int16).astype(np.int64); o += 2 * Jt
-        mc = fb[o:o + 2 * Jt].view(np.int16).astype(np.int64)
+        mc = fb[o:o + 2 * Jt].view(np.int16).astype(np.int64); o += 2 * Jt
+        bads = fb[o:o + 4 * nb].view(np.int32)
 
         real = np.zeros(Jt, dtype=bool)
         rows0 = np.zeros(Jt, dtype=np.int64)
         off = 0
-        for (jlist, outs, _), j2 in zip(packed, J2s):
+        for (jlist, _dense, r0), j2 in zip(entries, J2s):
             real[off:off + len(jlist)] = True
-            rows0[off:off + j2] = outs.rows0
+            rows0[off:off + j2] = r0
             off += j2
         ov = real & ((nr > R) | (nd > C))
+        if qtab is not None and bads.any():
+            # a qual value escaped the nibble table: dense-pull the
+            # affected bucket(s) wholesale (rare)
+            off = 0
+            for bi, j2 in enumerate(J2s):
+                if bads[bi]:
+                    ov[off:off + j2] |= real[off:off + j2]
+                off += j2
 
         # ---- qual: run-length expansion (overflow/pad rows expand as a
         # single zero run and are overwritten below)
@@ -1853,13 +1986,13 @@ class VectorEngine:
         # ---- overflow fallback: dense rows per affected bucket
         if ov.any():
             off = 0
-            for (jlist, outs, _), j2 in zip(packed, J2s):
+            for (jlist, dense_outs, _r0), j2 in zip(entries, J2s):
                 sel = np.nonzero(ov[off:off + j2])[0]
                 if len(sel):
                     n2 = _next_pow2(len(sel))
                     idxp = np.zeros(n2, dtype=np.int32)
                     idxp[:len(sel)] = sel
-                    pseq_d, qual_d = outs.dev_out[0], outs.dev_out[1]
+                    pseq_d, qual_d = dense_outs[0], dense_outs[1]
                     pw = pseq_d.shape[1]
                     buf = np.asarray(_pull_dense_fn()(pseq_d, qual_d, idxp))
                     self.wire_d2h += buf.nbytes
@@ -1875,7 +2008,7 @@ class VectorEngine:
 
     def _vote_pallas(self, kb, rows, shifts, valid, jl_arr, refbase,
                      shifted_jj, work, batch, seq_dev, qual_dev, score_dev,
-                     rnum, rden, tj):
+                     rnum, rden, tj, force_dense=False):
         """TPU voting via the Pallas kernel: device row-gather + pallas vote;
         the rare lenDiff-shifted jobs (right-mode mixed-length members,
         group.cpp:339-349) are re-gathered host-side with shifts applied and
@@ -1893,10 +2026,14 @@ class VectorEngine:
                   ratio_den=rden, tj=tj,
                   interpret=getattr(self, "_pallas_interpret", False))
         row0 = np.ascontiguousarray(rows[:, 0])
-        sparse = bool(getattr(self, "_sparse_dl", False))
+        # leftover buckets of a fused window ship dense: the window's wire
+        # buffer is already one flat sparse download, and the collect path
+        # keeps sparse/dense groups separate
+        sparse = bool(getattr(self, "_sparse_dl", False)) and not force_dense
         res = pallas_vote.pallas_vote_gathered(
             seq_dev, qual_dev, score_dev, np.ascontiguousarray(rows.T),
             row0, valid.T, jl_arr, refbase,
+            getattr(self, "_sparse_qtable", None),
             out_len=self.out_len, sparse=sparse, **kw)
         if sparse:
             out = _PackedOut(list(res[:4]), enc=res[4], rows0=row0.copy())
@@ -2446,17 +2583,12 @@ _SPARSE_SEQ_CAP = 12   # per-row seq edits before the row ships dense
 _SPARSE_QUAL_CAP = 12  # per-row qual edits before the row ships raw
 
 
-@_functools.cache
-def _upload_sparse_fn(w: int, L: int, mode2: bool, has_sedit: bool,
-                      has_qdense: bool, has_qedit: bool):
-    """Duplicate-aware upload reconstruction: the wire carries one dense
-    row per (group, side) segment (2-bit packed when pure ACGT) plus flat
-    per-member (pos, code) seq edits and per-row qual base values with
-    (pos, val) edits; the chip rebuilds the dense [n_pad, L] matrices.
-    Edits apply as <=CAP broadcast compare-selects (VPU-friendly), NOT a
-    scatter — TPU scatters serialize. Flat edit offsets come from a device
-    cumsum over the per-row counts, so no row array ships."""
-    import jax
+def _upload_sparse_trace(w: int, L: int, mode2: bool, has_sedit: bool,
+                         has_qdense: bool, has_qedit: bool,
+                         const_lens: bool):
+    """Traceable core of the duplicate-aware upload reconstruction (see
+    _upload_sparse_fn); shared by the standalone upload jit and the fused
+    upload+score program."""
     import jax.numpy as jnp
 
     def un2(packed, n):
@@ -2482,7 +2614,6 @@ def _upload_sparse_fn(w: int, L: int, mode2: bool, has_sedit: bool,
             mat = jnp.where(m, v[:, None], mat)
         return mat
 
-    @jax.jit
     def up(sd, src, scnt, epos, ecode, base, q_src, qd, qcnt, qpos, qval,
            lens16):
         n = src.shape[0]
@@ -2498,7 +2629,11 @@ def _upload_sparse_fn(w: int, L: int, mode2: bool, has_sedit: bool,
         j = jnp.arange(w, dtype=jnp.int32)[None, :]
         if has_sedit:
             seq = _apply_edits(seq, scnt, epos, ecode, _SPARSE_SEQ_CAP, j)
-        lens = lens16.astype(jnp.int32)
+        if const_lens:
+            ri = jnp.arange(n, dtype=jnp.int32)
+            lens = jnp.where(ri < lens16[1], lens16[0], 0)
+        else:
+            lens = lens16.astype(jnp.int32)
         keep = j < lens[:, None]
         seq = jnp.where(keep, seq, 0)
         qual = jnp.broadcast_to(base[:, None], (n, w))
@@ -2516,6 +2651,50 @@ def _upload_sparse_fn(w: int, L: int, mode2: bool, has_sedit: bool,
         return seq, qual, lens
 
     return up
+
+
+@_functools.cache
+def _upload_sparse_fn(w: int, L: int, mode2: bool, has_sedit: bool,
+                      has_qdense: bool, has_qedit: bool,
+                      const_lens: bool = False):
+    """Duplicate-aware upload reconstruction: the wire carries one dense
+    row per (group, side) segment (2-bit packed when pure ACGT) plus flat
+    per-member (pos, code) seq edits and per-row qual base values with
+    (pos, val) edits; the chip rebuilds the dense [n_pad, L] matrices.
+    Edits apply as <=CAP broadcast compare-selects (VPU-friendly), NOT a
+    scatter — TPU scatters serialize. Flat edit offsets come from a device
+    cumsum over the per-row counts, so no row array ships."""
+    import jax
+    return jax.jit(_upload_sparse_trace(w, L, mode2, has_sedit, has_qdense,
+                                        has_qedit, const_lens))
+
+
+@_functools.cache
+def _upload_score_fn(w: int, L: int, mode2: bool, has_sedit: bool,
+                     has_qdense: bool, has_qedit: bool, const_lens: bool,
+                     hi: int, mod: int, lo: int, s_hi: int, s_mod: int,
+                     s_lo: int, s_bad: int):
+    """Fused upload-reconstruction + overlap-scoring program: ONE device
+    execute builds the resident seq/qual matrices from the sparse wire
+    form AND applies Pair::computeScore across all rows (pair.cpp:88-172).
+    Returns (seq_dev, qual_scored, score_dev) — per-execute latency on the
+    remote transport is ~30-50ms, so every merged dispatch is wall time."""
+    import jax
+
+    up = _upload_sparse_trace(w, L, mode2, has_sedit, has_qdense,
+                              has_qedit, const_lens)
+
+    @jax.jit
+    def f(sd, src, scnt, epos, ecode, base, q_src, qd, qcnt, qpos, qval,
+          lens16, mate16, meta):
+        seq, qual, lens = up(sd, src, scnt, epos, ecode, base, q_src, qd,
+                             qcnt, qpos, qval, lens16)
+        score, qual2 = kernels.score_map_kernel_packed(
+            seq, qual, lens, mate16, meta, hi=hi, mod=mod, lo=lo,
+            s_hi=s_hi, s_mod=s_mod, s_lo=s_lo, s_bad=s_bad)
+        return seq, qual2, score
+
+    return f
 
 
 # BAM nibble byte (2 bases) -> 2-bit code pair; only meaningful for bytes
@@ -2549,11 +2728,13 @@ def _refbase_combine_fn(L: int):
 
     @jax.jit
     def f(genome, gpos, host_rows, host_map, jl):
+        hm = host_map.astype(jnp.int32)
         g = jax.vmap(lambda s: jax.lax.dynamic_slice(genome, (s,), (L,)))(gpos)
-        keep = jnp.arange(L, dtype=jnp.int32)[None, :] < jl[:, None]
+        keep = (jnp.arange(L, dtype=jnp.int32)[None, :]
+                < jl.astype(jnp.int32)[:, None])
         g = jnp.where(keep, g, 0)
-        h = host_rows[jnp.clip(host_map, 0, host_rows.shape[0] - 1)]
-        return jnp.where((host_map < 0)[:, None], g, h)
+        h = host_rows[jnp.clip(hm, 0, host_rows.shape[0] - 1)]
+        return jnp.where((hm < 0)[:, None], g, h)
 
     return f
 
@@ -2582,17 +2763,20 @@ _IDENT16 = np.arange(16, dtype=np.uint8)
 @_functools.cache
 def _concat_sparse_fn(nb: int):
     """One-shot device concat of nb buckets' sparse encodings into a single
-    u8 wire buffer: [qv J*R | qs J*R | nr J | sp J*C | sb J*C | nd J |
-    df 2J | mc 2J] — ~54 bytes/job vs ~160 dense-packed. The transport has
-    no wire compression and ~23 MB/s D2H, so bytes are the cost."""
+    u8 wire buffer: [qv J*(R or R/2) | qs J*R | nr J | sp J*C | sb J*C/2 |
+    nd J | df 2J | mc 2J | bads 4*nb] — ~30-46 bytes/job vs ~160
+    dense-packed. The transport has no wire compression and ~23 MB/s D2H,
+    so bytes are the cost. Per-bucket `bad` escape counters ride the tail
+    (a bucket whose qual values escaped the nibble table is dense-pulled)."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
     def cat(*arrs):
-        groups = [arrs[8 * i:8 * (i + 1)] for i in range(nb)]
+        groups = [arrs[9 * i:9 * (i + 1)] for i in range(nb)]
+        bads = jnp.stack([g[8].reshape(()) for g in groups])
         if nb == 1:
-            qv, qs, nr, sp, sb, nd, df16, mc16 = groups[0]
+            qv, qs, nr, sp, sb, nd, df16, mc16 = groups[0][:8]
         else:
             qv, qs, nr, sp, sb, nd, df16, mc16 = (
                 jnp.concatenate([g[k] for g in groups], axis=0)
@@ -2602,6 +2786,7 @@ def _concat_sparse_fn(nb: int):
             sp.reshape(-1), sb.reshape(-1), nd.reshape(-1),
             jax.lax.bitcast_convert_type(df16, jnp.uint8).reshape(-1),
             jax.lax.bitcast_convert_type(mc16, jnp.uint8).reshape(-1),
+            jax.lax.bitcast_convert_type(bads, jnp.uint8).reshape(-1),
         ])
 
     return cat
@@ -3060,6 +3245,11 @@ class _WorkArrays:
             qpos = np.pad(qpos, (0, Eq2 - Eq))
             qval = np.pad(qval, (0, Eq2 - Eq))
         z1 = np.zeros(1, dtype=np.uint8)
+        # uniform read length (the usual Illumina case): ship (len, n)
+        # instead of an n_pad-long array
+        const_lens = bool(n and (self.lens[:n] == self.lens[0]).all())
+        lens16 = (np.array([self.lens[0], n], dtype=np.int32) if const_lens
+                  else self.lens.astype(np.uint16))
         self._sup = dict(
             mode2=mode2, sd=sd, src=src,
             has_sedit=E > 0,
@@ -3072,7 +3262,7 @@ class _WorkArrays:
             has_qedit=Eq > 0,
             qcnt=qcnt if Eq else z1, qpos=qpos if Eq else z1,
             qval=qval if Eq else z1,
-            lens16=self.lens.astype(np.uint16))
+            const_lens=const_lens, lens16=lens16)
         return True
 
     def upload(self):
@@ -3084,7 +3274,7 @@ class _WorkArrays:
             s = self._sup
             return _upload_sparse_fn(
                 self.w_host, self.L, s["mode2"], s["has_sedit"],
-                s["has_qdense"], s["has_qedit"])(
+                s["has_qdense"], s["has_qedit"], s["const_lens"])(
                 s["sd"], s["src"], s["scnt"], s["epos"], s["ecode"],
                 s["base"], s["q_src"], s["qd"], s["qcnt"], s["qpos"],
                 s["qval"], s["lens16"])

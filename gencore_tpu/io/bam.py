@@ -288,12 +288,13 @@ class BamReader:
     def __init__(self, path: str):
         from gencore_tpu.io import native
         if path == "-":
-            # stdin: buffer to a temp file so the native threaded reader works
+            # stdin: spool to a temp file in bounded chunks so the native
+            # threaded reader works without holding the pipe in RAM
+            import shutil
             import sys
             import tempfile
-            data = sys.stdin.buffer.read()
             tf = tempfile.NamedTemporaryFile(delete=False, suffix=".bam")
-            tf.write(data)
+            shutil.copyfileobj(sys.stdin.buffer, tf, length=8 << 20)
             tf.close()
             path = tf.name
         self._payload_arr = native.bgzf_read(path)

@@ -242,22 +242,22 @@ def open_alignment(path: str):
     BGZF/gzip magic or raw BAM magic -> BamReader, else SAM text)."""
     import sys
     if path == "-":
-        data = sys.stdin.buffer.read()
+        # spool stdin to a temp file in bounded chunks (the reference
+        # streams stdin through htslib at O(1) memory, gencore.cpp:164;
+        # holding the whole pipe in RAM would be unbounded on big inputs)
         import os
+        import shutil
         import tempfile
-        sniff = data[:4]
-        if sniff[:2] == b"\x1f\x8b" or sniff == b"BAM\x01":
-            tf = tempfile.NamedTemporaryFile(delete=False, suffix=".bam")
-            tf.write(data)
-            tf.close()
-            try:
-                return bamio.BamReader(tf.name)  # loads payload eagerly
-            finally:
-                os.unlink(tf.name)
-        tf = tempfile.NamedTemporaryFile(delete=False, suffix=".sam", mode="wb")
-        tf.write(data)
+        sniff = sys.stdin.buffer.read(4)
+        is_bam = sniff[:2] == b"\x1f\x8b" or sniff == b"BAM\x01"
+        tf = tempfile.NamedTemporaryFile(
+            delete=False, suffix=".bam" if is_bam else ".sam", mode="wb")
+        tf.write(sniff)
+        shutil.copyfileobj(sys.stdin.buffer, tf, length=8 << 20)
         tf.close()
         try:
+            if is_bam:
+                return bamio.BamReader(tf.name)  # loads payload eagerly
             return SamReader(tf.name)
         finally:
             os.unlink(tf.name)

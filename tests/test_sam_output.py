@@ -73,6 +73,32 @@ def test_stdout_is_bam(tmp_path):
     assert recs_a == recs_b
 
 
+def test_stdin_to_stdout_pipe(tmp_path):
+    """The reference's default invocation is a pure pipe: BAM on stdin,
+    BAM on stdout (gencore.cpp:164-173). stdin spools in bounded chunks."""
+    sb = SyntheticBam(seed=63, contig_len=50_000)
+    for k in range(5):
+        sb.add_pair(0, 1000 + 400 * k, 1150 + 400 * k, umi="ACGT")
+        sb.add_pair(0, 1000 + 400 * k, 1150 + 400 * k, umi="ACGT")
+    bam_path = str(tmp_path / "in.bam")
+    sb.write_bam(bam_path)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", GENCORE_PLATFORM="cpu")
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(bam_path, "rb") as fin:
+        cp = subprocess.run(
+            [sys.executable, "-m", "gencore_tpu.cli",
+             "-j", str(tmp_path / "r.json"), "--html", str(tmp_path / "r.html")],
+            stdin=fin, capture_output=True, env=env, cwd=cwd)
+    assert cp.returncode == 0, cp.stderr.decode()
+    assert cp.stdout[:2] == b"\x1f\x8b"
+    out = str(tmp_path / "out.bam")
+    with open(out, "wb") as f:
+        f.write(cp.stdout)
+    from gencore_tpu.io import bam
+    b = bam.BamReader(out).read_all()
+    assert b.n == 10
+
+
 def test_unsorted_input_fatal(tmp_path):
     sb = SyntheticBam(seed=61, contig_len=50_000)
     sb.add_pair(0, 2000, 2100)
