@@ -601,13 +601,43 @@ class VectorEngine:
                         msk = wcl >= 0
                         grp_rank[msk] = (pair_ukey_id[msk]
                                          != wcl[msk]).astype(np.int64)
+                from gencore_tpu.io import native as _nat
+                _glib = _nat.get_lib()
                 for ci in np.nonzero(n_per_cl > 2)[0]:
                     lo, hi = int(c_pair_start[ci]), int(c_pair_end[ci])
-                    umis = [umivec.umi_string(u_mat, u_start, u_len, pi)
-                            for pi in range(lo, hi)]
-                    for r, idxs in enumerate(
-                            greedy_umi_groups(umis, int(c_thr[ci]))):
-                        grp_rank[lo + np.asarray(idxs, dtype=np.int64)] = r
+                    if _glib is not None:
+                        # columnar form: the cluster's DISTINCT umis are
+                        # already lex-sorted with counts (np.unique over
+                        # comb above); feed the native greedy directly —
+                        # no per-pair python strings (deep amplicon piles
+                        # have thousands of pairs per cluster)
+                        e0, e1 = int(cl_ptr[ci]), int(cl_ptr[ci + 1])
+                        firsts = first_idx[e0:e1]
+                        lens_c = u_len[firsts].astype(np.int64)
+                        Wc = max(int(lens_c.max()), 1)
+                        cols_w = np.arange(Wc, dtype=np.int64)[None, :]
+                        gidx = np.minimum(u_start[firsts][:, None] + cols_w,
+                                          u_mat.shape[1] - 1)
+                        matc = np.ascontiguousarray(
+                            u_mat[firsts[:, None], gidx])
+                        matc[cols_w >= lens_c[:, None]] = 0
+                        cnts_c = np.ascontiguousarray(cnts[e0:e1],
+                                                      dtype=np.int64)
+                        group_of = np.empty(e1 - e0, dtype=np.int64)
+                        _glib.gc_greedy_group(
+                            matc.ctypes.data, lens_c.ctypes.data,
+                            cnts_c.ctypes.data, e1 - e0, Wc,
+                            int(c_thr[ci]), group_of.ctypes.data)
+                        ids_local = np.searchsorted(
+                            uidv[e0:e1], pair_ukey_id[lo:hi])
+                        grp_rank[lo:hi] = group_of[ids_local]
+                    else:
+                        umis = [umivec.umi_string(u_mat, u_start, u_len, pi)
+                                for pi in range(lo, hi)]
+                        for r, idxs in enumerate(
+                                greedy_umi_groups(umis, int(c_thr[ci]))):
+                            grp_rank[lo + np.asarray(idxs,
+                                                     dtype=np.int64)] = r
             order_p = np.lexsort((grp_rank, cluster_of_pair))
             mem_pairs = order_p.astype(np.int64)
             cl_s = cluster_of_pair[order_p]

@@ -271,6 +271,25 @@ def test_equivalence_mi_tag_minority(tmp_path):
     assert_equivalent(o, v)
 
 
+def test_equivalence_deep_multi_umi_clusters(tmp_path):
+    """Amplicon-style position clusters with MANY pairs over >2 distinct
+    UMIs: exercises the columnar native greedy grouping path (the engine
+    feeds lex-sorted distinct UMIs straight to gc_greedy_group) against
+    the oracle's per-pair string greedy."""
+    sb = SyntheticBam(seed=79, contig_len=200_000)
+    rng = np.random.default_rng(80)
+    umis = ["AAAA", "CCCC", "GGGG", "TTTT", "ACGT", "TGCA", "AAAT", "CCCG"]
+    for locus in range(4):
+        pos = 10_000 + 40_000 * locus
+        for _ in range(120):
+            a, b = rng.choice(umis, size=2, replace=False)
+            sb.add_pair(0, pos, pos + 160, read_len=120, umi=f"{a}_{b}",
+                        n_errors=int(rng.integers(0, 3)),
+                        qual=int(rng.choice([18, 30, 36])))
+    o, v = run_both(sb, tmp_path)
+    assert_equivalent(o, v)
+
+
 def test_equivalence_far_apart_mates(tmp_path):
     """Same-contig mates >=100kb apart take the cross-contig key path
     (gencore.cpp:300-311)."""
