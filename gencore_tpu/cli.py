@@ -16,9 +16,13 @@ from gencore_tpu.options import OptionError, Options
 
 
 def build_parser() -> argparse.ArgumentParser:
+    # add_help=False: the reference assigns -h to --html (main.cpp:54);
+    # --help is registered manually below
     p = argparse.ArgumentParser(
-        prog="gencore-tpu",
+        prog="gencore-tpu", add_help=False,
         description="TPU-native consensus read engine (gencore-compatible)")
+    p.add_argument("--help", action="help",
+                   help="show this help message and exit")
     p.add_argument("-i", "--in", dest="input", default="-",
                    help="input sorted bam/sam file. STDIN will be read from if it's not specified")
     p.add_argument("-o", "--out", dest="output", default="-",
@@ -43,7 +47,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--low_qual", type=int, default=15)
     p.add_argument("--coverage_sampling", type=int, default=10000)
     p.add_argument("-j", "--json", default="gencore.json")
-    p.add_argument("--html", default="gencore.html")
+    p.add_argument("-h", "--html", default="gencore.html",
+                   help="the html format report file name")
     p.add_argument("--debug", action="store_true")
     p.add_argument("--quit_after_contig", type=int, default=0)
     # TPU engine knobs (no reference counterpart)

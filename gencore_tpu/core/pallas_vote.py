@@ -35,9 +35,10 @@ SENTINEL = 255  # member-absent marker (never matches a bin or refbase)
 
 # sparse wire-encoding caps (see _epilogue): inline seq edits / qual runs
 # per job; jobs exceeding either are pulled densely by the collector.
-# R=12/C=8 keeps the wire at ~46 B/job; typical jobs need <=7 runs
-# (template-constant qual with dips at member error positions) and <=3
-# edits, and the dense fallback covers the tail.
+# R=12/C=8 with nibble-paired edit bases and table-indexed run values is
+# ~32 B/job; typical jobs need <=7 runs (template-constant qual with dips
+# at member error positions) and <=3 edits, and the dense fallback covers
+# the tail. SPARSE_DIFFS must stay even (bases pack 2/byte).
 SPARSE_DIFFS = 8
 SPARSE_RUNS = 12
 
