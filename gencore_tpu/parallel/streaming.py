@@ -363,13 +363,38 @@ def run_streaming(opt: Options, path: str, out_path: str,
                 err.append(e)
                 return
 
+    # window decode prefetch: the ranged BGZF inflate of window k+1 runs
+    # on its own thread (libdeflate releases the GIL) while the dispatch
+    # thread does window k's host prep
+    dec_q: "queue.Queue" = queue.Queue(maxsize=2)
+
+    def decoder():
+        try:
+            for w, idx in enumerate(wins):
+                if err:
+                    return
+                if not _put_alive(dec_q, (w, sbam.window_batch(index, idx)),
+                                  err):
+                    return
+        except BaseException as e:
+            err.append(e)
+        finally:
+            _put_alive(dec_q, None, err)
+
+    dth = threading.Thread(target=decoder, daemon=True)
+    dth.start()
+
     th = threading.Thread(target=collector, daemon=True)
     th.start()
     try:
         for w, idx in enumerate(wins):
             if err:
                 break
-            batch = sbam.window_batch(index, idx)
+            item = dec_q.get()
+            if item is None:
+                break
+            w_dec, batch = item
+            assert w_dec == w
             eng = VectorEngine(mkopt(), header, fasta=fasta,
                                bed=bed.copy_structure() if bed is not None
                                else None)
@@ -386,9 +411,19 @@ def run_streaming(opt: Options, path: str, out_path: str,
                                       warm_only=warm_only)
             if not _put_alive(done_q, (w, eng, st, dev), err):
                 break
+    except BaseException as e:
+        # record before the finally joins: the decoder/collector loops
+        # exit as soon as err is non-empty
+        err.append(e)
     finally:
         _put_alive(done_q, None, err)
         th.join()
+        while True:  # unblock a decoder mid-put, then reap it
+            try:
+                dec_q.get_nowait()
+            except queue.Empty:
+                break
+        dth.join(timeout=30)
     if err:
         raise err[0]
     if warm_only:
