@@ -93,7 +93,9 @@ def make_ultradeep_workload():
     subtraction noise is negligible)."""
     os.makedirs(BENCH_DIR, exist_ok=True)
     bam_path = os.path.join(BENCH_DIR, "bench_ultradeep.bam")
-    fa_path = os.path.join(BENCH_DIR, "bench_ref.fa")
+    # the ultradeep workload draws reads from its OWN contigs (seed 21) —
+    # it must ship its own FASTA, not the seed-7 bench_ref.fa
+    fa_path = os.path.join(BENCH_DIR, "bench_ultradeep_ref.fa")
     if os.path.exists(bam_path) and os.path.exists(fa_path):
         return bam_path, fa_path
     sys.path.insert(0, os.path.join(
@@ -114,6 +116,7 @@ def make_ultradeep_workload():
             sb.add_pair(tid, pos1, pos2, read_len=150, umi=f"{a}_{b}",
                         n_errors=n_err, qual=int(rng.choice([18, 30, 36])))
     sb.write_bam(bam_path)
+    sb.write_fasta(fa_path)
     return bam_path, fa_path
 
 
@@ -328,7 +331,11 @@ def main():
             if time.time() - t_cfg0 > cfg_budget:
                 configs_out.append({"name": name, "skipped": "time budget"})
                 continue
-            bpath = bam_path if wl is None else make_ultradeep_workload()[0]
+            if wl is None:
+                bpath, cfg_fasta = bam_path, fasta
+            else:
+                bpath, cfa = make_ultradeep_workload()
+                cfg_fasta = FastaRef.load(cfa)
             kw2 = dict(kw)
             mkbed = kw2.get("bed_file") == "__BED__"
             if mkbed:
@@ -343,13 +350,13 @@ def main():
                 return o, bed
 
             o, bed = mk()
-            stream.run_streaming(o, bpath, out_path, fasta=fasta, bed=bed,
-                                 n_windows=n_windows, warm_only=True)
+            stream.run_streaming(o, bpath, out_path, fasta=cfg_fasta,
+                                 bed=bed, n_windows=n_windows, warm_only=True)
             cfg_runs = []
             for _ in range(2):
                 o, bed = mk()
                 t1 = time.time()
-                stream.run_streaming(o, bpath, out_path, fasta=fasta,
+                stream.run_streaming(o, bpath, out_path, fasta=cfg_fasta,
                                      bed=bed, n_windows=n_windows)
                 cfg_runs.append(time.time() - t1)
             el = min(cfg_runs)

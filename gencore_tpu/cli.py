@@ -184,10 +184,12 @@ def main(argv=None) -> int:
     stream_ok = not (opt.input in ("-",) or opt.output in ("-",)
                      or opt.input.endswith("sam")
                      or opt.output.endswith("sam") or args.oracle
-                     or args.shards > 1 or opt.max_contig > 0
-                     or args.windows == 1)
+                     or args.shards > 1 or opt.max_contig > 0)
     use_stream = args.stream
-    if not use_stream and stream_ok and not os.environ.get("GENCORE_NO_STREAM"):
+    # auto-selection additionally skips --windows 1 (an explicit request
+    # for a single-shot run); explicit --stream honors it
+    if (not use_stream and stream_ok and args.windows != 1
+            and not os.environ.get("GENCORE_NO_STREAM")):
         from gencore_tpu.io import native as _nat
         thr = int(os.environ.get("GENCORE_STREAM_THRESHOLD", 32 << 20))
         try:

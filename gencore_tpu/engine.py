@@ -853,18 +853,15 @@ class VectorEngine:
         d = batch.data
         if len(d) < 4 or len(cidx) == 0:
             return np.zeros(0, dtype=np.int64)
-        # memchr-speed substring search (a numpy 3-way compare costs ~4
-        # full-payload passes; bytes.find is one, and almost always the
-        # only one — most files have no MI at all)
-        blob = d.tobytes()
-        hits = []
-        p = blob.find(b"MIZ")
-        while p >= 0:
-            hits.append(p)
-            p = blob.find(b"MIZ", p + 1)
-        if not hits:
+        # one full-payload compare finds 'M' candidates (~1/256 density);
+        # the 'I'/'Z' confirmation then touches only those few positions —
+        # no payload copy, ~1.3 passes total vs 4 for a 3-way compare
+        cand = np.nonzero(d[:-3] == ord("M"))[0]
+        if not len(cand):
             return np.zeros(0, dtype=np.int64)
-        pp = np.asarray(hits, dtype=np.int64)
+        pp = cand[(d[cand + 1] == ord("I")) & (d[cand + 2] == ord("Z"))]
+        if not len(pp):
+            return np.zeros(0, dtype=np.int64)
         rec = np.searchsorted(batch.off, pp, side="right") - 1
         valid = ((rec >= 0) & (pp >= batch.aux_off[rec])
                  & (pp + 3 < batch.end[rec]))
@@ -1248,22 +1245,11 @@ class VectorEngine:
             # fused upload+score (one execute). Empty geometry still runs
             # the program: all rows unscored -> moderate default + original
             # quals (pair.cpp:92), which the plain path's `default` mirrors.
-            mate16 = np.arange(N, dtype=np.uint16)
-            meta = np.zeros(N, dtype=np.uint32)
-            if lrow is not None:
-                mate16[lrow] = rrow.astype(np.uint16)
-                mate16[rrow] = lrow.astype(np.uint16)
-                clc = np.clip(cl, 0, 511).astype(np.uint32)
-                empty = clc == 0
-                lsc = np.where(empty, 0,
-                               np.clip(ls, 0, 255)).astype(np.uint32)
-                rsc = np.where(empty, 0,
-                               np.clip(rs, 0, 255)).astype(np.uint32)
-                mrow = np.concatenate([lrow, rrow])
-                mval = np.concatenate([
-                    lsc | (rsc << 8) | (clc << 16) | (1 << 25) | (1 << 26),
-                    rsc | (lsc << 8) | (clc << 16) | (1 << 26)])
-                meta[mrow] = mval
+            mate16, meta = _pack_score_meta(
+                N, lrow, rrow,
+                ls if lrow is not None else None,
+                rs if lrow is not None else None,
+                cl if lrow is not None else None)
             s = work._sup
             self._acct_up(mate16, meta,
                           *[v for v in s.values()
@@ -1288,19 +1274,7 @@ class VectorEngine:
             # packed wire form: u32 geometry + u16 mate row = 6 B/row
             # (was 22 B across 7 arrays). cmp_len <= 0 (no overlap) clamps
             # to an empty window with start 0 — identical semantics.
-            mate16 = np.arange(N, dtype=np.uint16)
-            meta = np.zeros(N, dtype=np.uint32)
-            mate16[lrow] = rrow.astype(np.uint16)
-            mate16[rrow] = lrow.astype(np.uint16)
-            clc = np.clip(cl, 0, 511).astype(np.uint32)
-            empty = clc == 0
-            lsc = np.where(empty, 0, np.clip(ls, 0, 255)).astype(np.uint32)
-            rsc = np.where(empty, 0, np.clip(rs, 0, 255)).astype(np.uint32)
-            mrow = np.concatenate([lrow, rrow])
-            mval = np.concatenate([
-                lsc | (rsc << 8) | (clc << 16) | (1 << 25) | (1 << 26),
-                rsc | (lsc << 8) | (clc << 16) | (1 << 26)])
-            meta[mrow] = mval
+            mate16, meta = _pack_score_meta(N, lrow, rrow, ls, rs, cl)
             self._acct_up(mate16, meta)
             with _Ts("score.dispatch"):
                 score_dev, qual_dev = kernels.score_map_kernel_packed(
@@ -1567,6 +1541,7 @@ class VectorEngine:
         # wire concat run in one program (VERDICT r3 #3). k-classes are
         # quantized to {4, 16, pow2<=256}; deeper/non-contiguous jobs
         # (rare) take the gathered per-bucket path below.
+        wflat_made = False
         if fuse_window and nj:
             from gencore_tpu.core import pallas_vote as _pv
             fl = flats[True]
@@ -1641,6 +1616,7 @@ class VectorEngine:
                     with _T("vote.device"):
                         jax.block_until_ready(flat_dev)
                 pending.append(("wflat", flat_dev, entries))
+                wflat_made = True
 
         if fuse_window and refbase_dev is None and not handled.all():
             # leftover buckets still need refbase rows
@@ -1724,7 +1700,7 @@ class VectorEngine:
                 outs, overrides = self._vote_pallas(
                     kb, rows, shifts, valid, jl_arr, refbase, shifted_jj,
                     work, batch, seq_dev, qual_dev, score_dev, rnum, rden,
-                    tj0, force_dense=fuse_window)
+                    tj0, force_dense=wflat_made)
                 if _SYNC_STAGES:
                     with _T("vote.device"):
                         jax.block_until_ready(outs.dev_out)
@@ -2544,6 +2520,29 @@ class VectorEngine:
 
 
 import functools as _functools
+
+
+def _pack_score_meta(N, lrow, rrow, ls, rs, cl):
+    """u16 mate rows + u32 packed geometry for score_map_kernel_packed:
+    my_start 8b | mate_start 8b | cmp_len 9b | is_left 1b | scored 1b.
+    cmp_len <= 0 (no overlap) clamps to an empty window with start 0 —
+    identical semantics (the window is empty either way). Single source
+    of truth for the bit layout (decode: kernels.score_map_kernel_packed)."""
+    mate16 = np.arange(N, dtype=np.uint16)
+    meta = np.zeros(N, dtype=np.uint32)
+    if lrow is not None and len(lrow):
+        mate16[lrow] = rrow.astype(np.uint16)
+        mate16[rrow] = lrow.astype(np.uint16)
+        clc = np.clip(cl, 0, 511).astype(np.uint32)
+        empty = clc == 0
+        lsc = np.where(empty, 0, np.clip(ls, 0, 255)).astype(np.uint32)
+        rsc = np.where(empty, 0, np.clip(rs, 0, 255)).astype(np.uint32)
+        mrow = np.concatenate([lrow, rrow])
+        mval = np.concatenate([
+            lsc | (rsc << 8) | (clc << 16) | (1 << 25) | (1 << 26),
+            rsc | (lsc << 8) | (clc << 16) | (1 << 26)])
+        meta[mrow] = mval
+    return mate16, meta
 
 
 @_functools.cache

@@ -136,6 +136,19 @@ def _put_alive(q: "queue.Queue", item, err: list) -> bool:
     return False
 
 
+def _get_alive(q: "queue.Queue", err: list):
+    """Bounded get that cannot deadlock on a dead producer: returns None
+    as soon as any thread has recorded an error — the sentinel put may
+    never arrive once err is non-empty (_put_alive gives up), so a plain
+    blocking get() would hang forever."""
+    while True:
+        try:
+            return q.get(timeout=0.2)
+        except queue.Empty:
+            if err:
+                return None
+
+
 def flush_ready(pending: list, boundary, writer):
     """Emit every pending record with bamComp key strictly below
     `boundary` (a (tid, pos) pair; None = flush all), preserving the
@@ -285,7 +298,7 @@ def run_pipelined(opt: Options, batch: bamio.RecordBatch, header,
 
     def collector():
         while True:
-            item = done_q.get()
+            item = _get_alive(done_q, err)
             if item is None:
                 return
             w, eng, st, dev = item

@@ -35,7 +35,8 @@ from gencore_tpu.io import native
 from gencore_tpu.options import Options
 from gencore_tpu.stats import Stats
 from gencore_tpu.parallel.pipeline import (plan_windows, _merge_window_stats,
-                                           flush_ready, _put_alive,
+                                           flush_ready, _get_alive,
+                                           _put_alive,
                                            window_flush_boundaries)
 from gencore_tpu.parallel.windows import (global_checkpoint,
                                           global_watermark)
@@ -337,7 +338,7 @@ def run_streaming(opt: Options, path: str, out_path: str,
     def collector():
         w = 0
         while True:
-            item = done_q.get()
+            item = _get_alive(done_q, err)
             if item is None:
                 return
             w, eng, st, dev = item
@@ -390,7 +391,7 @@ def run_streaming(opt: Options, path: str, out_path: str,
         for w, idx in enumerate(wins):
             if err:
                 break
-            item = dec_q.get()
+            item = _get_alive(dec_q, err)
             if item is None:
                 break
             w_dec, batch = item

@@ -84,3 +84,46 @@ def test_streaming_matches_pipeline(tmp_path, chunk_bytes):
     for f in STAT_FIELDS:
         assert getattr(pre_m, f) == getattr(pre_s, f), ("pre", f)
         assert getattr(post_m, f) == getattr(post_s, f), ("post", f)
+
+
+def test_streaming_mid_run_error_raises_not_hangs(tmp_path, monkeypatch):
+    """A decode/engine error mid-stream must surface as an exception;
+    the 3-thread runner (decoder/dispatch/collector) previously could
+    deadlock because the shutdown sentinel was withheld once err was
+    recorded while a peer blocked in an untimed get()."""
+    import threading
+
+    from gencore_tpu.parallel.streaming import StreamingBam, run_streaming
+    sb = make_random_workload(52, n_fragments=300, contig_len=500_000,
+                              n_contigs=2)
+    bam_path = str(tmp_path / "in.bam")
+    sb.write_bam(bam_path)
+
+    orig = StreamingBam.window_batch
+    calls = {"n": 0}
+
+    def boom(self, index, idx):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise IOError("synthetic mid-stream decode failure")
+        return orig(self, index, idx)
+
+    monkeypatch.setattr(StreamingBam, "window_batch", boom)
+
+    result = {}
+
+    def run():
+        try:
+            run_streaming(Options(), bam_path, str(tmp_path / "out.bam"),
+                          n_windows=4)
+            result["outcome"] = "returned"
+        except IOError as e:
+            result["outcome"] = f"raised: {e}"
+        except BaseException as e:  # noqa: BLE001
+            result["outcome"] = f"raised-other: {type(e).__name__}"
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    th.join(timeout=120)
+    assert not th.is_alive(), "run_streaming hung on a mid-stream error"
+    assert result["outcome"].startswith("raised"), result

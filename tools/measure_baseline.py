@@ -45,10 +45,10 @@ def main():
         sb.add_pair(0, 100, 200)
         sb.write_bam(empty_bam)
 
-    def run(bam, out, flags=()):
+    def run(bam, out, flags=(), fa=None):
         t0 = time.perf_counter()
         p = subprocess.run(
-            [REF_BIN, "-i", bam, "-r", fa_path, "-o", out,
+            [REF_BIN, "-i", bam, "-r", fa or fa_path, "-o", out,
              "-j", os.path.join(BENCH_DIR, "ref_baseline.json"),
              "--html", os.path.join(BENCH_DIR, "ref_baseline.html")]
             + list(flags),
@@ -75,11 +75,15 @@ def main():
     for name, _kw, flags, wl in bench.bench_configs():
         if name == "defaults":
             continue
-        cbam = bam_path if wl is None else bench.make_ultradeep_workload()[0]
+        cfa = None
+        if wl is None:
+            cbam = bam_path
+        else:
+            cbam, cfa = bench.make_ultradeep_workload()
         flags = [bench.make_bed() if a == "__BED__" else a for a in flags]
         nr = n_reads if wl is None else bamio.BamReader(cbam).read_all().n
         ts = [run(cbam, os.path.join(BENCH_DIR, f"ref_{name}_out.bam"),
-                  flags) for _ in range(2)]
+                  flags, fa=cfa) for _ in range(2)]
         cs = max(min(ts) - empty_s, 1e-3)
         configs[name] = round(nr / cs, 1)
 
