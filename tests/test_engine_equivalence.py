@@ -271,6 +271,17 @@ def test_equivalence_mi_tag_minority(tmp_path):
     assert_equivalent(o, v)
 
 
+def test_equivalence_dense_upload_fallback(tmp_path, monkeypatch):
+    """GENCORE_NO_SPARSE_UP forces the dense upload staging (the fallback
+    for >256bp reads / index overflow); it must stay record-equivalent —
+    the sparse path is the default, so nothing else exercises this."""
+    monkeypatch.setenv("GENCORE_NO_SPARSE_UP", "1")
+    sb = make_random_workload(81, n_fragments=100, umi_mode="duplex",
+                              contig_len=300_000, n_contigs=1)
+    o, v = run_both(sb, tmp_path)
+    assert_equivalent(o, v)
+
+
 def test_equivalence_deep_multi_umi_clusters(tmp_path):
     """Amplicon-style position clusters with MANY pairs over >2 distinct
     UMIs: exercises the columnar native greedy grouping path (the engine
