@@ -66,7 +66,10 @@ class _IndexColumns:
 class StreamingBam:
     """Index + ranged-decode access to a BGZF BAM file."""
 
-    def __init__(self, path: str, chunk_bytes: int = 64 << 20):
+    def __init__(self, path: str, chunk_bytes: int = 24 << 20):
+        # 24MB chunks: enough chunks that the pass-1 prefetch pipeline
+        # (inflate || scan/extract) actually overlaps, while the carry
+        # concatenate stays cheap
         if native.get_lib() is None:
             raise RuntimeError("streaming mode requires the native core")
         bt = native.bgzf_block_table(path)
@@ -123,76 +126,106 @@ class StreamingBam:
 
     def build_index(self, per_chunk=None) -> _IndexColumns:
         """Pass 1: chunked decode + record scan; keeps index columns only.
-        per_chunk(batch) is called on each chunk's RecordBatch (pre-stats)."""
+        per_chunk(batch) is called on each chunk's RecordBatch (pre-stats).
+        The next chunk's threaded inflate runs on a prefetch thread (the
+        native call releases the GIL) while this thread scans/extracts the
+        current one."""
         cols = {k: [] for k in ("tid", "pos", "mtid", "mpos", "isize",
                                 "flag", "l_qseq", "ustart", "uend")}
+        spans = []
+        p0 = 0
+        while p0 < self.total:
+            spans.append((p0, min(p0 + self.chunk_bytes, self.total)))
+            p0 = spans[-1][1]
+
+        import concurrent.futures as _fut
+        pool = _fut.ThreadPoolExecutor(max_workers=1)
+        futs = [None] * len(spans)
+
+        def _fetch(i):
+            lo, hi = spans[i]
+            return self._read_span(lo, hi)
+
         pos = 0
         carry = np.zeros(0, dtype=np.uint8)
         carry_base = 0
         first = True
-        while pos < self.total:
-            hi = min(pos + self.chunk_bytes, self.total)
-            buf, base = self._read_span(pos, hi)
-            # the decode is block-aligned and can extend past hi; trim to
-            # [pos, hi) so the carry never duplicates bytes
-            end_in_buf = min(hi, self.total) - base
-            if first:
-                self._parse_header(buf)
-                start_in_buf = self._body_start
-                first = False
-            else:
-                start_in_buf = pos - base
-            if len(carry):
-                buf = np.concatenate([carry, buf[start_in_buf:end_in_buf]])
-                buf_base = carry_base
-            else:
-                buf = buf[start_in_buf:end_in_buf]
-                buf_base = base + start_in_buf
-            # scan complete records in buf (native partial scan; python
-            # per-record loop only as fallback — at 100GB+ scale the index
-            # pass must not crawl at interpreter speed, VERDICT r3 #4)
-            n = len(buf)
-            sp = native.bam_scan_partial(buf, 0)
-            if sp is not None:
-                bounds, p = sp
-                nrec = len(bounds) - 1
-                off_a = bounds[:nrec]
-                end_a = np.empty(nrec, dtype=np.int64)
-                if nrec:
-                    end_a[:-1] = bounds[1:nrec] - 4
-                    end_a[-1] = p
-            else:
-                p = 0
-                offs = []
-                ends = []
-                while p + 4 <= n:
-                    bs = int(buf[p]) | (int(buf[p + 1]) << 8) | \
-                        (int(buf[p + 2]) << 16) | (int(buf[p + 3]) << 24)
-                    if p + 4 + bs > n:
-                        break
-                    offs.append(p + 4)
-                    ends.append(p + 4 + bs)
-                    p += 4 + bs
-                off_a = np.asarray(offs, dtype=np.int64)
-                end_a = np.asarray(ends, dtype=np.int64)
-                nrec = len(off_a)
-            if nrec:
-                batch = bamio.RecordBatch(buf, off_a, end_a)
-                for k in ("tid", "pos", "mtid", "mpos", "isize", "flag",
-                          "l_qseq"):
-                    cols[k].append(np.array(getattr(batch, k)))
-                cols["ustart"].append(off_a - 4 + buf_base)
-                cols["uend"].append(end_a + buf_base)
-                if per_chunk is not None:
-                    per_chunk(batch)
-            carry = buf[p:].copy()
-            carry_base = buf_base + p
-            pos = hi
+        try:
+            for ci, (pos, hi) in enumerate(spans):
+                if futs[ci] is None:
+                    futs[ci] = pool.submit(_fetch, ci)
+                if ci + 1 < len(spans):
+                    futs[ci + 1] = pool.submit(_fetch, ci + 1)
+                buf, base = futs[ci].result()
+                futs[ci] = None
+                self._index_chunk(buf, base, pos, hi, cols, per_chunk,
+                                  first, carry, carry_base)
+                carry, carry_base, first = self._chunk_state
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
         if len(carry) not in (0,):
             raise ValueError("truncated BAM payload")
         cat = {k: (np.concatenate(v) if v else np.zeros(0, dtype=np.int64))
                for k, v in cols.items()}
         return _IndexColumns(**cat)
+
+    def _index_chunk(self, buf, base, pos, hi, cols, per_chunk, first,
+                     carry, carry_base):
+        """Scan one decoded chunk into the index columns; sets
+        self._chunk_state = (carry, carry_base, first) for the caller."""
+        # the decode is block-aligned and can extend past hi; trim to
+        # [pos, hi) so the carry never duplicates bytes
+        end_in_buf = min(hi, self.total) - base
+        if first:
+            self._parse_header(buf)
+            start_in_buf = self._body_start
+            first = False
+        else:
+            start_in_buf = pos - base
+        if len(carry):
+            buf = np.concatenate([carry, buf[start_in_buf:end_in_buf]])
+            buf_base = carry_base
+        else:
+            buf = buf[start_in_buf:end_in_buf]
+            buf_base = base + start_in_buf
+        # scan complete records in buf (native partial scan; python
+        # per-record loop only as fallback — at 100GB+ scale the index
+        # pass must not crawl at interpreter speed, VERDICT r3 #4)
+        n = len(buf)
+        sp = native.bam_scan_partial(buf, 0)
+        if sp is not None:
+            bounds, p = sp
+            nrec = len(bounds) - 1
+            off_a = bounds[:nrec]
+            end_a = np.empty(nrec, dtype=np.int64)
+            if nrec:
+                end_a[:-1] = bounds[1:nrec] - 4
+                end_a[-1] = p
+        else:
+            p = 0
+            offs = []
+            ends = []
+            while p + 4 <= n:
+                bs = int(buf[p]) | (int(buf[p + 1]) << 8) | \
+                    (int(buf[p + 2]) << 16) | (int(buf[p + 3]) << 24)
+                if p + 4 + bs > n:
+                    break
+                offs.append(p + 4)
+                ends.append(p + 4 + bs)
+                p += 4 + bs
+            off_a = np.asarray(offs, dtype=np.int64)
+            end_a = np.asarray(ends, dtype=np.int64)
+            nrec = len(off_a)
+        if nrec:
+            batch = bamio.RecordBatch(buf, off_a, end_a)
+            for k in ("tid", "pos", "mtid", "mpos", "isize", "flag",
+                      "l_qseq"):
+                cols[k].append(np.array(getattr(batch, k)))
+            cols["ustart"].append(off_a - 4 + buf_base)
+            cols["uend"].append(end_a + buf_base)
+            if per_chunk is not None:
+                per_chunk(batch)
+        self._chunk_state = (buf[p:].copy(), buf_base + p, first)
 
     def window_batch(self, index: _IndexColumns, idx: np.ndarray):
         """Pass 2: decode the block span covering records `idx` and build
@@ -249,7 +282,7 @@ _flush_ready = flush_ready
 
 def run_streaming(opt: Options, path: str, out_path: str,
                   fasta=None, bed=None, n_windows: int = 0,
-                  chunk_bytes: int = 64 << 20, devices=None,
+                  chunk_bytes: int = 24 << 20, devices=None,
                   warm_only: bool = False, stage_totals: dict = None):
     """Bounded-memory end-to-end run: returns (header, pre, post) after
     writing the output BAM incrementally. Output bytes are identical to
