@@ -2977,21 +2977,10 @@ class _WorkArrays:
             self.seq_packed[:n] = batch.data[gidx]
             mask = cols[None, :] >= seq_bytes[:, None]
             self.seq_packed[:n][mask] = 0
-        # qual values: histogram then (usual RTA case) nibble-index staging
         qlens = self.lens[:n]
-        if use_native:
-            counts = native.hist_rows(batch.data, batch.qual_off[cidx], qlens)
-        else:
-            counts = np.bincount(
-                batch.qual_matrix(cidx, w_host).reshape(-1), minlength=256)
-        nzvals = np.nonzero(counts[1:])[0].astype(np.uint8) + 1
-        self.qtable16 = np.zeros(16, dtype=np.uint8)
-        if len(nzvals) <= 15:
-            self.qual_table = self.qtable16
-            self.qtable16[1:1 + len(nzvals)] = nzvals
-        else:
-            self.qual_table = None
         self.dummy_row = n_pad - 1
+        self.qtable16 = np.zeros(16, dtype=np.uint8)
+        self.qual_table = None
 
         # ---- duplicate-aware sparse upload staging ----
         # Group members are near-duplicates of their segment head: ship one
@@ -3011,9 +3000,26 @@ class _WorkArrays:
             self.qual_up = None
             self.seq_mode = "sparse"
             self.qual_mode = "sparse"
+            # distinct-value table from the edit scan's seen mask (no
+            # separate histogram pass; only segment rows matter — votes
+            # gather member rows only). Feeds the download qual closure.
+            nzvals = np.nonzero(self._qual_seen[1:])[0].astype(np.uint8) + 1
+            if len(nzvals) <= 15:
+                self.qual_table = self.qtable16
+                self.qtable16[1:1 + len(nzvals)] = nzvals
             return
 
         # ---- dense staging fallback ----
+        # qual value histogram -> (usual RTA case) nibble-index staging
+        if use_native:
+            counts = native.hist_rows(batch.data, batch.qual_off[cidx], qlens)
+        else:
+            counts = np.bincount(
+                batch.qual_matrix(cidx, w_host).reshape(-1), minlength=256)
+        nzvals = np.nonzero(counts[1:])[0].astype(np.uint8) + 1
+        if len(nzvals) <= 15:
+            self.qual_table = self.qtable16
+            self.qtable16[1:1 + len(nzvals)] = nzvals
         if self.qual_table is not None:
             lut = np.zeros(256, dtype=np.uint8)
             lut[nzvals] = np.arange(1, 1 + len(nzvals), dtype=np.uint8)
@@ -3172,7 +3178,8 @@ class _WorkArrays:
         qed = (native.qual_edits(batch.data, batch.qual_off[sel], ln, qcap)
                if use_native and ne else None)
         if qed is not None:
-            base_n, qcnt_n, qpos_s, qval_s = qed
+            base_n, qcnt_n, qpos_s, qval_s, q_seen = qed
+            self._qual_seen = q_seen
             base[:ne] = base_n
             over_q = qcnt_n == 255
             nq = int(over_q.sum())
@@ -3204,6 +3211,8 @@ class _WorkArrays:
                 Q = np.zeros((0, w), dtype=np.uint8)
             if ne:
                 base[:ne] = np.where(ln > 0, Q[:, 0], 0)
+            self._qual_seen = (np.bincount(
+                Q.reshape(-1), minlength=256) > 0).astype(np.uint8)
             colw = np.arange(w, dtype=np.int32)
             Dq = (Q != base[:ne, None]) & (colw[None, :] < ln[:, None])
             qcnt_full = Dq.sum(axis=1)

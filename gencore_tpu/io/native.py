@@ -133,7 +133,8 @@ def get_lib():
                                       ctypes.c_int64, ctypes.c_void_p,
                                       ctypes.c_int, ctypes.c_void_p,
                                       ctypes.c_void_p, ctypes.c_void_p,
-                                      ctypes.c_void_p, ctypes.c_int]
+                                      ctypes.c_void_p, ctypes.c_void_p,
+                                      ctypes.c_int]
     lib.gc_greedy_group.restype = ctypes.c_int64
     lib.gc_greedy_group.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                     ctypes.c_void_p, ctypes.c_int64,
@@ -411,8 +412,9 @@ def seq_edits(packed: np.ndarray, rep_idx, lens, cap: int):
 
 def qual_edits(data: np.ndarray, qual_off, lens, cap: int):
     """Threaded per-record qual base+deviation scan (gc_qual_edits).
-    Returns (base u8[n], cnt u8[n], pos u8[n,cap], val u8[n,cap]) with
-    cnt==255 marking overflow, or None without the native lib."""
+    Returns (base u8[n], cnt u8[n], pos u8[n,cap], val u8[n,cap],
+    seen u8[256] distinct-value mask) with cnt==255 marking overflow, or
+    None without the native lib."""
     lib = get_lib()
     if lib is None or not hasattr(lib, "gc_qual_edits"):
         return None
@@ -423,11 +425,12 @@ def qual_edits(data: np.ndarray, qual_off, lens, cap: int):
     cnt = np.zeros(n, dtype=np.uint8)
     pos = np.zeros((n, cap), dtype=np.uint8)
     val = np.zeros((n, cap), dtype=np.uint8)
+    seen = np.zeros(256, dtype=np.uint8)
     lib.gc_qual_edits(np.ascontiguousarray(data, dtype=np.uint8).ctypes.data,
                       qo.ctypes.data, n, ln.ctypes.data, cap,
                       base.ctypes.data, cnt.ctypes.data, pos.ctypes.data,
-                      val.ctypes.data, 0)
-    return base, cnt, pos, val
+                      val.ctypes.data, seen.ctypes.data, 0)
+    return base, cnt, pos, val, seen
 
 
 def pack2_rows(packed: np.ndarray, lens, lut: np.ndarray,

@@ -16,6 +16,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -354,14 +355,19 @@ void gc_seq_edits(const uint8_t* packed, int64_t n, int64_t pw,
 
 // Qual staging: per-record base value (first byte) + up to `cap` (pos, val)
 // deviations from it within lens[i]; cnt 255 marks overflow (row ships
-// raw). Reads straight from the BAM payload via qual_off.
+// raw). Reads straight from the BAM payload via qual_off. `seen[256]` is
+// OR-merged with every qual value encountered (distinct-value mask — lets
+// callers skip a separate histogram pass); workers accumulate locally and
+// merge under a mutex.
 void gc_qual_edits(const uint8_t* data, const int64_t* qual_off, int64_t n,
                    const int32_t* lens, int cap, uint8_t* base, uint8_t* cnt,
-                   uint8_t* pos, uint8_t* val, int n_threads) {
+                   uint8_t* pos, uint8_t* val, uint8_t* seen, int n_threads) {
   int nt = hw_threads(n_threads);
   std::atomic<int64_t> next(0);
+  std::mutex seen_mu;
   const int64_t kChunk = 512;
   auto worker = [&]() {
+    uint8_t local_seen[256] = {0};
     for (;;) {
       int64_t lo = next.fetch_add(kChunk);
       if (lo >= n) break;
@@ -372,17 +378,28 @@ void gc_qual_edits(const uint8_t* data, const int64_t* qual_off, int64_t n,
         if (l <= 0) { base[i] = 0; cnt[i] = 0; continue; }
         uint8_t b = q[0];
         base[i] = b;
+        local_seen[b] = 1;
         uint8_t* prow = pos + i * cap;
         uint8_t* vrow = val + i * cap;
         int c = 0;
         for (int32_t j = 1; j < l; ++j) {
           if (q[j] != b) {
+            local_seen[q[j]] = 1;
             if (c < cap) { prow[c] = (uint8_t)j; vrow[c] = q[j]; }
             if (++c > cap) break;
           }
         }
+        if ((uint8_t)(c > cap ? 255 : c) == 255) {
+          // overflow rows ship raw; the tail beyond the bailed scan still
+          // contributes values — finish the value sweep
+          for (int32_t j = 1; j < l; ++j) local_seen[q[j]] = 1;
+        }
         cnt[i] = (uint8_t)(c > cap ? 255 : c);
       }
+    }
+    if (seen) {
+      std::lock_guard<std::mutex> g(seen_mu);
+      for (int v = 0; v < 256; ++v) seen[v] |= local_seen[v];
     }
   };
   std::vector<std::thread> threads;
