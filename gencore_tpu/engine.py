@@ -1263,6 +1263,10 @@ class VectorEngine:
                     s["sd"], s["src"], s["scnt"], s["epos"], s["ecode"],
                     s["base"], s["q_src"], s["qd"], s["qcnt"], s["qpos"],
                     s["qval"], s["lens16"], mate16, meta)
+            # staging handed to the async dispatch; jax holds what it
+            # needs — drop our references so inflight windows don't stack
+            # ~8MB of dead staging each
+            work._sup = None
             return score_dev, qual_dev, seq_dev
 
         default = jnp.full((work.n_pad, work.L),
