@@ -1619,6 +1619,14 @@ class VectorEngine:
                 if _SYNC_STAGES:
                     with _T("vote.device"):
                         jax.block_until_ready(flat_dev)
+                try:
+                    # start the device->host copy as soon as the program
+                    # finishes (async) — the collector's np.asarray then
+                    # finds the bytes already landed instead of paying the
+                    # full wire latency inside vote.sync
+                    flat_dev.copy_to_host_async()
+                except (AttributeError, RuntimeError):
+                    pass
                 pending.append(("wflat", flat_dev, entries))
                 wflat_made = True
 
