@@ -260,16 +260,17 @@ class RefLookup:
 
     def get_contig(self, tid: int, pos: int, length: int):
         """Returns the whole-contig uint8 ASCII array, or None per the
-        reference's guards (contig missing, or pos+len >= contig size)."""
+        reference's guards (contig missing, or pos+len >= contig size),
+        emitting the reference's one-shot stderr warnings
+        (reference.cpp:51-65) on each failed guard."""
         if self.fasta is None or tid < 0 or tid >= len(self.target_names):
             return None
         name = self.target_names[tid]
         contig = self.fasta.get_contig(name)
-        if contig is None:
+        len_ok = contig is not None and pos + length < len(contig)
+        if not self.fasta.guard(name, len_ok):
             return None
-        if pos + length >= len(contig):
-            return None
-        return contig
+        return contig if len_ok else None
 
 
 class OGroup:

@@ -1323,6 +1323,27 @@ class VectorEngine:
             self._refoff_cache[k] = v
         return v
 
+    def _replay_ref_guards(self, guard_tid, guard_ok):
+        """Replay a window's per-job Reference::getData calls through
+        FastaRef.guard in job order, for stderr warning parity
+        (reference.cpp:33-71: one-shot 'not found', per-call length
+        mismatch, silence while the cache holds a good contig)."""
+        if self.fasta is None:
+            return
+        called = np.nonzero(guard_tid >= 0)[0]
+        if called.size == 0:
+            return
+        if guard_ok[called].all():
+            # no warnings possible; just land the cache on the last
+            # contig touched (reference.cpp:67-70)
+            self.fasta._last_contig = \
+                self.header.names[int(guard_tid[called[-1]])]
+            self.fasta._last_ok = True
+            return
+        for j in called:
+            self.fasta.guard(self.header.names[int(guard_tid[j])],
+                             bool(guard_ok[j]))
+
     def _refbase_all(self, jobs: list, batch, ct, work) -> np.ndarray:
         """Reference bases for ALL jobs at once (group.cpp:362-367,430-439):
         vectorized grouping by (cigar class id, job_len) — one contig gather
@@ -1344,6 +1365,8 @@ class VectorEngine:
         uniq, inv = np.unique(key, return_inverse=True)
         order = np.argsort(inv, kind="stable")
         bounds = np.nonzero(np.diff(inv[order]))[0] + 1
+        guard_tid = np.full(J, -1, dtype=np.int64)
+        guard_ok = np.zeros(J, dtype=bool)
         for jjs in np.split(order, bounds):
             if key[jjs[0]] < 0:
                 continue
@@ -1360,6 +1383,8 @@ class VectorEngine:
             poss = batch.pos[trs].astype(np.int64)
             clen = self._contig_len[tids]
             avail = (clen > 0) & (poss + reflen < clen)
+            guard_tid[jjs] = batch.tid[trs].astype(np.int64)
+            guard_ok[jjs] = avail
             if not avail.any():
                 continue
             base = self._contig_base[tids]
@@ -1369,6 +1394,7 @@ class VectorEngine:
             codes[:, offs < 0] = 0
             codes[~avail] = 0
             out[jjs[:, None], np.arange(jl)[None, :]] = codes
+        self._replay_ref_guards(guard_tid, guard_ok)
         return out
 
     def _genome_dev(self):
@@ -1421,6 +1447,12 @@ class VectorEngine:
         host_map = np.zeros(J, dtype=np.int32)  # row 0 = all-zero row
         host_rows = [np.zeros((1, L), dtype=np.uint8)]
         jl32 = np.zeros(J, dtype=np.int32)
+        # per-job Reference::getData call record for warning parity
+        # (reference.cpp:33-71): tid of the call (-1 = no call) and
+        # whether the lookup succeeded; replayed through FastaRef.guard
+        # in job order after the class loop
+        guard_tid = np.full(J, -1, dtype=np.int64)
+        guard_ok = np.zeros(J, dtype=bool)
         if need.any():
             rows_w = work.row_of(tmpl)
             key = ct.class_id[rows_w] * (int(jlen.max()) + 1) + jlen
@@ -1443,6 +1475,8 @@ class VectorEngine:
                 poss = batch.pos[trs].astype(np.int64)
                 clen = self._contig_len[tids]
                 avail = (clen > 0) & (poss + reflen < clen)
+                guard_tid[jjs] = batch.tid[trs].astype(np.int64)
+                guard_ok[jjs] = avail
                 if not avail.any():
                     continue
                 base = self._contig_base[tids]
@@ -1463,6 +1497,7 @@ class VectorEngine:
                     host_rows.append(rows)
                     host_map[jjs] = np.arange(start, start + len(jjs),
                                               dtype=np.int32)
+        self._replay_ref_guards(guard_tid, guard_ok)
         J2 = _next_pow2(max(J, 1)) if self._pad_shapes else J
         hr = np.concatenate(host_rows, axis=0)
         H2 = _next_pow2(hr.shape[0]) if self._pad_shapes else hr.shape[0]

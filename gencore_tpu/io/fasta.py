@@ -22,8 +22,44 @@ class FastaRef:
     def __init__(self, contigs: dict | None = None):
         # name -> np.uint8 array of ASCII bases
         self.contigs: dict = contigs or {}
+        # Reference::getData cache + warning state machine
+        # (reference.cpp:33-71), shared across the window pipeline's
+        # engines (they share this FastaRef). The 'not found' warning is
+        # one-shot (its static latch IS set, reference.cpp:51-56); the
+        # length-mismatch warning prints on EVERY call that reaches the
+        # check — that branch never sets its latch (reference.cpp:59-63,
+        # a reference bug kept for stderr parity). Calls short-circuit
+        # silently while the last successful lookup's contig is cached.
         self._warned_missing = False
-        self._warned_len = False
+        self._last_contig = None   # mLastBamContig analog
+        self._last_ok = False      # mLastData != NULL analog
+
+    def guard(self, name: str, len_ok: bool) -> bool:
+        """One Reference::getData call: returns whether refdata is usable
+        for (contig, len_ok = pos+len < contig size), emitting the
+        reference's stderr warnings with its exact cadence."""
+        if name == self._last_contig and self._last_ok:
+            # cached-hit path: silent even on length failure, cache kept
+            # (reference.cpp:39-44)
+            return len_ok
+        self._last_contig = name
+        if name not in self.contigs:
+            if not self._warned_missing:
+                import sys
+                print(f"contig {name} not found in the reference, please "
+                      "make sure your reference is correct", file=sys.stderr)
+            self._warned_missing = True
+            self._last_ok = False
+            return False
+        if not len_ok:
+            import sys
+            print(f"contig {name} doesn't match the length in the "
+                  "reference, please make sure your reference is correct",
+                  file=sys.stderr)
+            self._last_ok = False
+            return False
+        self._last_ok = True
+        return True
 
     @classmethod
     def load(cls, path: str, max_contig: int = 0) -> "FastaRef":

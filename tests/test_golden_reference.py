@@ -52,6 +52,64 @@ def test_golden_duplex_umi_small():
 
 @pytest.mark.skipif(not _ref_available(),
                     reason="reference binary not buildable in this image")
+def test_golden_contig_mismatch_warnings():
+    """A FASTA with one truncated contig and one missing contig: both
+    tools must emit the reference's getData stderr warnings
+    (reference.cpp:51-65) with identical cadence — 'not found' latches
+    one-shot, the length mismatch prints per failed uncached call (its
+    latch is never set in the reference) — and still produce identical
+    output records (consensus falls back to majority arbitration)."""
+    import subprocess
+    import golden_compare as gc
+    rng = np.random.default_rng(41)
+    sb = SyntheticBam(seed=41, contig_len=50_000, n_contigs=2)
+    for tid in (0, 1):
+        for _ in range(60):
+            pos1 = int(rng.integers(42_000, 49_000))
+            pos2 = pos1 + int(rng.integers(10, 120))
+            for _ in range(2 + int(rng.poisson(1))):
+                sb.add_pair(tid, pos1, pos2, read_len=100,
+                            n_errors=int(rng.integers(0, 3)),
+                            qual=int(rng.choice([14, 35])))
+    with tempfile.TemporaryDirectory() as wd:
+        bam_in = os.path.join(wd, "warn.bam")
+        fa = os.path.join(wd, "warn.fa")
+        sb.write_bam(bam_in)
+        # chr1 truncated to 40k (header says 50k -> length warning for the
+        # 42k+ reads); chr2 absent entirely (missing warning)
+        with open(fa, "w") as f:
+            f.write(">chr1\n")
+            c = sb.contigs[0][:40_000]
+            for i in range(0, len(c), 70):
+                f.write(c[i:i + 70] + "\n")
+        ref_out = os.path.join(wd, "warn.ref.bam")
+        tpu_out = os.path.join(wd, "warn.tpu.bam")
+        rp = subprocess.run(
+            [gc.REF_BIN, "-i", bam_in, "-r", fa, "-o", ref_out],
+            capture_output=True, timeout=600)
+        assert rp.returncode == 0, rp.stderr.decode()[-400:]
+        tp = subprocess.run(
+            [sys.executable, "-c",
+             "import sys; from gencore_tpu import cli; "
+             "sys.exit(cli.main(sys.argv[1:]))",
+             "-i", bam_in, "-r", fa, "-o", tpu_out],
+            capture_output=True, timeout=600,
+            env={**os.environ, "GENCORE_PLATFORM": "cpu"})
+        assert tp.returncode == 0, tp.stderr.decode()[-400:]
+        from collections import Counter
+        ref_warn = Counter(l for l in rp.stderr.decode().splitlines()
+                           if "please make sure your reference" in l)
+        tpu_warn = Counter(l for l in tp.stderr.decode().splitlines()
+                           if "please make sure your reference" in l)
+        assert ref_warn == tpu_warn
+        assert sum("not found" in k for k in ref_warn.elements()) == 1
+        _, rrecs = gc.decode_records(ref_out)
+        _, trecs = gc.decode_records(tpu_out)
+        assert sorted(rrecs) == sorted(trecs)
+
+
+@pytest.mark.skipif(not _ref_available(),
+                    reason="reference binary not buildable in this image")
 def test_golden_watermark_tick_crossing():
     """>10000 clustered reads so the reference's flush tick fires: checks
     the watermark-gated post-stats quirk (post-report destructor drain)."""
