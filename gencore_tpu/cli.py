@@ -164,6 +164,16 @@ def main(argv=None) -> int:
     command = "gencore-tpu " + " ".join(argv)
     t1 = time.time()
 
+    # piped stdin: spool once to an unlinked seekable temp file so every
+    # downstream path (streaming two-pass included) treats it as a file;
+    # the spool is deleted on exit automatically (io/sam.spool_stdin).
+    # The reference streams pipes directly (gencore.cpp:164-173).
+    stdin_keeper = None
+    stdin_is_bam = True
+    if opt.input == "-":
+        from gencore_tpu.io.sam import spool_stdin
+        opt.input, stdin_keeper, stdin_is_bam = spool_stdin()
+
     from gencore_tpu.io import bam as bamio
     from gencore_tpu.io.bed import BedRegions
     from gencore_tpu.io.fasta import FastaRef
@@ -181,8 +191,9 @@ def main(argv=None) -> int:
     # O(window) residency (gencore.cpp:205), and the windowed ranged
     # decode overlaps BGZF inflate with device compute. --stream forces
     # it; small inputs and unsupported shapes use the in-memory pipeline.
-    stream_ok = not (opt.input in ("-",) or opt.output in ("-",)
-                     or opt.input.endswith("sam")
+    # pipes stream too: stdin is already a seekable spool (above) and
+    # stdout takes sequential incremental BGZF writes (no seek needed)
+    stream_ok = not (opt.input.endswith("sam") or not stdin_is_bam
                      or opt.output.endswith("sam") or args.oracle
                      or args.shards > 1 or opt.max_contig > 0)
     use_stream = args.stream
@@ -199,9 +210,9 @@ def main(argv=None) -> int:
             use_stream = False
     if use_stream:
         if not stream_ok:
-            print("ERROR: --stream requires BAM file input and output "
-                  "(no stdin/stdout/SAM/--oracle/--shards/"
-                  "--quit_after_contig)", file=sys.stderr)
+            print("ERROR: --stream requires BAM input and output "
+                  "(no SAM/--oracle/--shards/--quit_after_contig)",
+                  file=sys.stderr)
             return -1
         from gencore_tpu.parallel.streaming import StreamingBam, run_streaming
         try:
@@ -224,10 +235,16 @@ def main(argv=None) -> int:
             import jax
             devices = jax.local_devices()[:args.devices]
         stage_sum = {} if opt.debug else None
+        out_path = opt.output
+        if out_path == "-":
+            # incremental BGZF writes are sequential appends: route them
+            # straight to stdout (reference gencore.cpp:170-173)
+            sys.stdout.flush()
+            out_path = "/dev/stdout"
         from gencore_tpu.utils.tracing import maybe_jax_trace
         with maybe_jax_trace():
             header, pre_stats, post_stats = run_streaming(
-                opt, opt.input, opt.output, fasta=fasta, bed=bed,
+                opt, opt.input, out_path, fasta=fasta, bed=bed,
                 n_windows=args.windows, devices=devices,
                 stage_totals=stage_sum)
         if stage_sum:

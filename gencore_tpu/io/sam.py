@@ -237,30 +237,44 @@ class SamReader:
         return bamio.RecordBatch(data, off)
 
 
+def spool_stdin(chunk: int = 8 << 20):
+    """Spool stdin to an UNLINKED temp file in bounded chunks; returns
+    (path, keeper, is_bam). The reference streams pipes straight through
+    htslib at O(window) memory (gencore.cpp:164-173); the two-pass
+    streaming design needs a seekable source, so the pipe lands on disk
+    once. The inode is unlinked immediately and accessed via
+    /proc/self/fd/<n> (valid while `keeper` stays open, reopenable by the
+    native ranged readers), so the spool vanishes automatically however
+    the process exits."""
+    import os
+    import shutil
+    import sys
+    import tempfile
+    sniff = sys.stdin.buffer.read(4)
+    is_bam = sniff[:2] == b"\x1f\x8b" or sniff == b"BAM\x01"
+    tf = tempfile.NamedTemporaryFile(delete=False, suffix=".spool",
+                                     mode="wb")
+    tf.write(sniff)
+    shutil.copyfileobj(sys.stdin.buffer, tf, length=chunk)
+    tf.close()
+    keeper = open(tf.name, "rb")
+    path = f"/proc/self/fd/{keeper.fileno()}"
+    if os.path.exists(path):
+        os.unlink(tf.name)
+    else:  # no procfs (non-Linux): fall back to the named temp file
+        path = tf.name
+    return path, keeper, is_bam
+
+
 def open_alignment(path: str):
     """BAM/SAM auto-detecting reader factory (htslib-style detection:
     BGZF/gzip magic or raw BAM magic -> BamReader, else SAM text)."""
-    import sys
     if path == "-":
-        # spool stdin to a temp file in bounded chunks (the reference
-        # streams stdin through htslib at O(1) memory, gencore.cpp:164;
-        # holding the whole pipe in RAM would be unbounded on big inputs)
-        import os
-        import shutil
-        import tempfile
-        sniff = sys.stdin.buffer.read(4)
-        is_bam = sniff[:2] == b"\x1f\x8b" or sniff == b"BAM\x01"
-        tf = tempfile.NamedTemporaryFile(
-            delete=False, suffix=".bam" if is_bam else ".sam", mode="wb")
-        tf.write(sniff)
-        shutil.copyfileobj(sys.stdin.buffer, tf, length=8 << 20)
-        tf.close()
-        try:
-            if is_bam:
-                return bamio.BamReader(tf.name)  # loads payload eagerly
-            return SamReader(tf.name)
-        finally:
-            os.unlink(tf.name)
+        path, keeper, is_bam = spool_stdin()
+        rdr = (bamio.BamReader(path) if is_bam  # loads payload eagerly
+               else SamReader(path))
+        rdr._stdin_keeper = keeper  # keeps the unlinked spool alive
+        return rdr
     with open(path, "rb") as fh:
         sniff = fh.read(4)
     if sniff[:2] == b"\x1f\x8b" or sniff == b"BAM\x01":

@@ -127,3 +127,46 @@ def test_streaming_mid_run_error_raises_not_hangs(tmp_path, monkeypatch):
     th.join(timeout=120)
     assert not th.is_alive(), "run_streaming hung on a mid-stream error"
     assert result["outcome"].startswith("raised"), result
+
+
+def test_piped_stdin_stdout_streams(tmp_path):
+    """`-i - -o -` takes the streaming path (GENCORE_STREAM_THRESHOLD=1):
+    stdin spools to an unlinked seekable temp file, stdout gets the
+    incremental BGZF writes, and the bytes match the file->file streaming
+    run exactly. Reference streams pipes directly (gencore.cpp:164-173)."""
+    import subprocess
+    import sys
+    sb = make_random_workload(61, n_fragments=400, contig_len=400_000,
+                              n_contigs=2)
+    bam_path = str(tmp_path / "in.bam")
+    fa_path = str(tmp_path / "in.fa")
+    sb.write_bam(bam_path)
+    sb.write_fasta(fa_path)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "GENCORE_PLATFORM": "cpu",
+           "GENCORE_STREAM_THRESHOLD": "1",
+           "PYTHONPATH": repo + os.pathsep + os.environ.get("PYTHONPATH", "")}
+    out_file = str(tmp_path / "out_file.bam")
+    pf = subprocess.run(
+        [sys.executable, "-m", "gencore_tpu.cli", "-i", bam_path,
+         "-r", fa_path, "-o", out_file, "--debug",
+         "-j", str(tmp_path / "f.json"), "-h", str(tmp_path / "f.html")],
+        capture_output=True, timeout=600, env=env, cwd=str(tmp_path))
+    assert pf.returncode == 0, pf.stderr.decode()[-800:]
+    assert b"[stage] index" in pf.stderr, \
+        "file->file run did not take the streaming path"
+    with open(bam_path, "rb") as fin:
+        pp = subprocess.run(
+            [sys.executable, "-m", "gencore_tpu.cli", "-i", "-", "-o", "-",
+             "-r", fa_path, "--debug",
+             "-j", str(tmp_path / "p.json"), "-h", str(tmp_path / "p.html")],
+            stdin=fin, capture_output=True, timeout=600, env=env,
+            cwd=str(tmp_path))
+    assert pp.returncode == 0, pp.stderr.decode()[-800:]
+    assert b"[stage] index" in pp.stderr, \
+        "piped run did not take the streaming path"
+    with open(out_file, "rb") as f:
+        assert pp.stdout == f.read(), "piped output != file->file output"
+    # the stdin spool must not survive the run
+    leftovers = [p for p in os.listdir("/tmp") if p.endswith(".spool")]
+    assert not leftovers, leftovers
