@@ -33,7 +33,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_data")
 N_FRAGMENTS = int(os.environ.get("GENCORE_BENCH_FRAGMENTS", 40_000))
 DUP_MEAN = 3  # mean duplicates per fragment -> ~40000*3*2 = 240k reads
-N_RUNS = int(os.environ.get("GENCORE_BENCH_RUNS", 7))
+# SAME run count and SAME statistic (median) for every config, so no
+# config's vs_baseline is flattered relative to the headline (the
+# per-config reference baselines stay best-of-5, conservative for us)
+N_RUNS = int(os.environ.get("GENCORE_BENCH_RUNS", 5))
 
 
 def resolve_baseline():
@@ -319,6 +322,9 @@ def main():
     configs_out = [{
         "name": "defaults", "reads_per_sec": round(rps, 1),
         "elapsed_s": round(med, 2),
+        "runs_s": [round(r, 2) for r in runs],
+        "best_rps": round(n_reads / min(runs), 1),
+        "stages_s": stage_tables[med_idx],
         "vs_baseline": round(rps / float(per_cfg_base.get(
             "defaults", baseline_rps)), 3)}]
     cfg_budget = float(os.environ.get("GENCORE_BENCH_BUDGET_S", 420))
@@ -353,16 +359,34 @@ def main():
             stream.run_streaming(o, bpath, out_path, fasta=cfg_fasta,
                                  bed=bed, n_windows=n_windows, warm_only=True)
             cfg_runs = []
-            for _ in range(2):
+            cfg_stages = []
+            for _ in range(max(N_RUNS, 1)):
                 o, bed = mk()
+                cst: dict = {}
                 t1 = time.time()
                 stream.run_streaming(o, bpath, out_path, fasta=cfg_fasta,
-                                     bed=bed, n_windows=n_windows)
+                                     bed=bed, n_windows=n_windows,
+                                     stage_totals=cst)
                 cfg_runs.append(time.time() - t1)
-            el = min(cfg_runs)
+                cst.pop("out.records", None)
+                cfg_stages.append({k: round(v, 3) for k, v in sorted(
+                    cst.items(), key=lambda kv: -kv[1])})
+            el = statistics.median(cfg_runs)
+            ci = cfg_runs.index(el) if el in cfg_runs else 0
             crps = nr_c / el
+            cw = cfg_stages[ci]
+            ch2 = cw.pop("wire.h2dMB", None)
+            cd2 = cw.pop("wire.d2hMB", None)
             entry = {"name": name, "reads_per_sec": round(crps, 1),
-                     "elapsed_s": round(el, 2), "n_reads": nr_c}
+                     "elapsed_s": round(el, 2), "n_reads": nr_c,
+                     "runs_s": [round(r, 2) for r in cfg_runs],
+                     "best_rps": round(nr_c / min(cfg_runs), 1),
+                     "stages_s": cw}
+            if ch2 is not None:
+                entry["wire"] = {
+                    "h2d_B_per_read": round(ch2 * 1e6 / max(nr_c, 1), 1),
+                    "d2h_B_per_read": round((cd2 or 0) * 1e6 / max(nr_c, 1),
+                                            1)}
             if name in per_cfg_base:
                 entry["vs_baseline"] = round(
                     crps / float(per_cfg_base[name]), 3)
