@@ -91,15 +91,18 @@ class OutBlock:
     -1 for 'absent' (real values are 0..255). buf -1 = raw copy unless
     the local position appears in `ovr` (materialized row pairs)."""
 
-    __slots__ = ("rec", "qname_rec", "nm_new", "fr_tag", "serial",
-                 "bufs", "buf", "row", "ovr")
+    __slots__ = ("rec", "qname_rec", "nm_new", "fr_tag", "rr_tag",
+                 "serial", "bufs", "buf", "row", "ovr")
 
     def __init__(self, rec, qname_rec, nm_new, fr_tag, serial, bufs,
-                 buf, row):
+                 buf, row, rr_tag=None):
         self.rec = rec
         self.qname_rec = qname_rec
         self.nm_new = nm_new
         self.fr_tag = fr_tag
+        # RR tag values for duplex consensus records (-1 = absent,
+        # pair.cpp:61-67); None = no duplex entries in this block
+        self.rr_tag = rr_tag
         self.serial = serial
         self.bufs = bufs          # list of (seq2d, qual2d)
         self.buf = buf            # int per entry, -1 = raw/override
@@ -141,7 +144,9 @@ class OutputTable:
                 qrecs.append(np.asarray(e.qname_rec, dtype=np.int64))
                 nms.append(np.asarray(e.nm_new, dtype=np.int64))
                 frs.append(np.asarray(e.fr_tag, dtype=np.int64))
-                rrs.append(np.full(m, -1, dtype=np.int64))
+                rrs.append(np.full(m, -1, dtype=np.int64)
+                           if e.rr_tag is None
+                           else np.asarray(e.rr_tag, dtype=np.int64))
                 bi = np.full(m, -1, dtype=np.int64)
                 eb = np.asarray(e.buf, dtype=np.int64)
                 has = eb >= 0

@@ -853,6 +853,13 @@ class VectorEngine:
         d = batch.data
         if len(d) < 4 or len(cidx) == 0:
             return np.zeros(0, dtype=np.int64)
+        from gencore_tpu.io import native as _nat
+        if d.flags.c_contiguous:
+            flags = _nat.mi_flags(d, batch.aux_off, batch.end)
+            if flags is not None:
+                # threaded memchr over aux spans only (~30 B/read) instead
+                # of the whole payload; identical candidate predicate
+                return np.nonzero(flags[cidx] != 0)[0]
         # one full-payload compare finds 'M' candidates (~1/256 density);
         # the 'I'/'Z' confirmation then touches only those few positions —
         # no payload copy, ~1.3 passes total vs 4 for a 3-way compare
@@ -2180,8 +2187,18 @@ class VectorEngine:
         has_umi_cl = np.logical_or.reduceat(pair_has_umi, c_pair_start)
         eligible = has_umi_cl & (not opt.disable_duplex)
         cross_cl = np.logical_or.reduceat(g_cross, cg_start)
-        scalar_cl = (eligible & (n_groups >= 2)) | cross_cl
+        # multi-group duplex clusters run the columnar back-pop duplex
+        # pass below (cluster.cpp:119-155); only cross-contig clusters and
+        # MI-tagged inputs keep the scalar OPair path
+        mi_mode = self._mi_has_rank is not None
+        if mi_mode:
+            scalar_cl = (eligible & (n_groups >= 2)) | cross_cl
+            dup_cl = np.zeros(nclusters, dtype=bool)
+        else:
+            scalar_cl = cross_cl
+            dup_cl = eligible & (n_groups >= 2) & ~cross_cl
         vec_g = ~scalar_cl[g_cluster]
+        dup_g = dup_cl[g_cluster]
 
         # per-group columns
         lj = side_jobs[True]
@@ -2200,32 +2217,6 @@ class VectorEngine:
         pe = l_ex & r_ex
         merge_reads = g_sizes
         emitted = (not opt.duplex_only) & (merge_reads >= opt.cluster_size_req)
-
-        # ---- vectorized stats for vector clusters/groups ----
-        vsel = np.nonzero(vec_g)[0]
-        vec_cl = ~scalar_cl
-        pre.cluster += int(vec_cl.sum())
-        pre.multi_molecule_cluster += int((n_groups[vec_cl] > 1).sum())
-        mr_v = merge_reads[vsel]
-        small = mr_v < MAX_SUPPORTING_READS
-        pre.molecule += len(vsel)
-        if len(vsel):
-            hist = np.bincount(mr_v[small], minlength=MAX_SUPPORTING_READS)
-            pre.supporting_histogram += hist[:MAX_SUPPORTING_READS]
-        pre.uncounted_supporting_reads += int((~small).sum())
-        pe_v = pe[vsel]
-        pre.molecule_pe += int(pe_v.sum())
-        pre.molecule_se += int((~pe_v).sum())
-        em_v = emitted[vsel]
-        n_em = int(em_v.sum())
-        post.sscs_num += n_em
-        emc = np.add.reduceat((vec_g & emitted).astype(np.int64), cg_start)
-        post.cluster += int(((emc > 0) & vec_cl).sum())
-        post.multi_molecule_cluster += int(((emc > 1) & vec_cl).sum())
-        post.molecule += n_em
-        post.supporting_histogram[1] += n_em
-        post.molecule_pe += int((pe_v & em_v).sum())
-        post.molecule_se += int((~pe_v & em_v).sum())
 
         # ---- qname reconciliation + NM for non-single vector groups ----
         ljc = np.clip(lj, 0, None)
@@ -2256,6 +2247,193 @@ class VectorEngine:
         nm_r = _nm_side(rj, tr_r)
         fr_val = np.minimum(merge_reads, 65535) & 0xFF
 
+        # ---- columnar duplex pass (cluster.cpp:119-155) ----
+        # Exact int-id simulation of the reference's back-pop matching
+        # loop over canonical 2-part UMI identities; survivor emission
+        # order, FR/RR tags, base masking (duplexMerge, cluster.cpp:
+        # 199-244) and stats all come out of the simulation. Per-event
+        # cost is O(1) amortized — no per-group OPair objects.
+        lq = batch.l_qseq
+        jbuf = jobs._buf if njobs and jobs._buf is not None \
+            else np.zeros(1, dtype=np.int32)
+        jrow = jobs._row if njobs and jobs._row is not None \
+            else np.zeros(1, dtype=np.int32)
+        seqbufs = jobs._seqbufs if njobs else []
+        rr_val = np.full(G, -1, dtype=np.int64)
+        dup_ovr: dict = {}     # group gi -> masked (seq, qual) overrides
+        emit_rank = None       # within-cluster emission order (dup only)
+        if dup_cl.any():
+            tpj = (jobs.col("tmpl_pair") if njobs
+                   else np.zeros(1, dtype=np.int64))
+            # umi source pair per group (group.cpp:124-131): single groups
+            # use their only pair; merged groups the reconciled side's
+            # template pair
+            src_pair = np.where(single, first_pair, -1)
+            nsg = ~single
+            lonly = nsg & (lj >= 0) & (rj < 0)
+            ronly = nsg & (rj >= 0) & (lj < 0)
+            src_pair[lonly] = tpj[lj[lonly]]
+            src_pair[ronly] = tpj[rj[ronly]]
+            bsel = nsg & both
+            src_pair[bsel] = np.where(use_left[bsel], tpj[ljc[bsel]],
+                                      tpj[rjc[bsel]])
+            # canonical duplex identity: exactly-two-part '_' split;
+            # partner = reversed parts (cluster.cpp:246-258)
+            from gencore_tpu.utils.umi import _split_nonempty
+            key_id = np.full(G, -1, dtype=np.int64)
+            partner_id = np.full(G, -1, dtype=np.int64)
+            interned: dict = {}
+            for g in np.nonzero(dup_g)[0]:
+                sp = int(src_pair[g])
+                if sp < 0:
+                    continue
+                parts = _split_nonempty(
+                    umivec.umi_string(u_mat, u_start, u_len, sp), "_")
+                if len(parts) != 2:
+                    continue
+                a, b = parts
+                key_id[g] = interned.setdefault((a, b), len(interned))
+                partner_id[g] = interned.setdefault((b, a), len(interned))
+
+            def side_view(g, left):
+                """('raw', rec) | ('job', j) | None for a group's side."""
+                if single[g]:
+                    return ("raw", int(pl[first_pair[g]])) if left else None
+                j = int(lj[g] if left else rj[g])
+                return ("job", j) if j >= 0 else None
+
+            def rows_of(h):
+                kind, v = h
+                if kind == "raw":
+                    return batch.seq_codes(v), np.asarray(batch.qual(v))
+                n = int(lq[job_tr[v]])
+                bi = int(jbuf[v])
+                if bi >= 0:
+                    sb, qb = seqbufs[bi]
+                    return sb[int(jrow[v])][:n], qb[int(jrow[v])][:n]
+                return jobs.new_seq(v)[:n], jobs.new_qual(v)[:n]
+
+            def mask_side(g, h, mism):
+                if h[0] == "job":
+                    s, q = rows_of(h)
+                    s[mism] = 15
+                    q[mism] = 0
+                else:
+                    o = dup_ovr.get(g)
+                    if o is None:
+                        s, q = rows_of(h)
+                        o = (np.asarray(s).copy(), np.asarray(q).copy())
+                        dup_ovr[g] = o
+                    o[0][mism] = 15
+                    o[1][mism] = 0
+
+            emit_rank = np.zeros(G, dtype=np.int64)
+            thr_d = opt.duplex_mismatch_threshold
+            req = opt.cluster_size_req
+            dup_only = opt.duplex_only
+            for ci in np.nonzero(dup_cl)[0]:
+                g0 = int(cg_start[ci])
+                gn = int(n_groups[ci])
+                occ: dict = {}
+                for p in range(gn):
+                    k = int(key_id[g0 + p])
+                    if k >= 0:
+                        occ.setdefault(k, []).append(p)
+                ptr = {k: 0 for k in occ}
+                alive = [True] * gn
+                nalive = gn
+                rank = 0
+                top = gn - 1
+                while nalive > 0:
+                    while not alive[top]:
+                        top -= 1
+                    p1 = top
+                    alive[p1] = False
+                    nalive -= 1
+                    g1 = g0 + p1
+                    p2 = -1
+                    if key_id[g1] >= 0:
+                        lst = occ.get(int(partner_id[g1]))
+                        if lst is not None:
+                            i = ptr[int(partner_id[g1])]
+                            while i < len(lst) and not alive[lst[i]]:
+                                i += 1
+                            ptr[int(partner_id[g1])] = i
+                            if i < len(lst):
+                                p2 = lst[i]
+                    if p2 >= 0:
+                        g2 = g0 + p2
+                        alive[p2] = False
+                        nalive -= 1
+                        mr1 = int(merge_reads[g1])
+                        mr2 = int(merge_reads[g2])
+                        pre.add_molecule(mr1 + mr2, bool(pe[g1]))
+                        d = 0
+                        masks = []
+                        for left in (True, False):
+                            h1 = side_view(g1, left)
+                            h2 = side_view(g2, left)
+                            if h1 is None or h2 is None:
+                                continue
+                            s1, _ = rows_of(h1)
+                            s2, _ = rows_of(h2)
+                            n = min(len(s1), len(s2))
+                            d += abs(len(s1) - len(s2))
+                            mism = np.nonzero(s1[:n] != s2[:n])[0]
+                            d += len(mism)
+                            if len(mism):
+                                masks.append((h1, mism))
+                        if d <= thr_d and mr1 + mr2 >= req:
+                            for h1, mism in masks:
+                                mask_side(g1, h1, mism)
+                            rr_val[g1] = min(mr2, 65535) & 0xFF
+                            post.add_dcs()
+                            emitted[g1] = True
+                            emit_rank[g1] = rank
+                            rank += 1
+                        else:
+                            emitted[g1] = False
+                        emitted[g2] = False
+                    else:
+                        mr1 = int(merge_reads[g1])
+                        pre.add_molecule(mr1, bool(pe[g1]))
+                        if not dup_only and mr1 >= req:
+                            post.add_sscs()
+                            emitted[g1] = True
+                            emit_rank[g1] = rank
+                            rank += 1
+                        else:
+                            emitted[g1] = False
+
+        # ---- vectorized stats for vector clusters/groups ----
+        # (duplex-cluster molecule/sscs/dcs counts came out of the
+        # simulation above; cluster counts and post-molecule accounting
+        # stay columnar)
+        vec_cl = ~scalar_cl
+        pre.cluster += int(vec_cl.sum())
+        pre.multi_molecule_cluster += int((n_groups[vec_cl] > 1).sum())
+        vsel = np.nonzero(vec_g & ~dup_g)[0]
+        mr_v = merge_reads[vsel]
+        small = mr_v < MAX_SUPPORTING_READS
+        pre.molecule += len(vsel)
+        if len(vsel):
+            hist = np.bincount(mr_v[small], minlength=MAX_SUPPORTING_READS)
+            pre.supporting_histogram += hist[:MAX_SUPPORTING_READS]
+        pre.uncounted_supporting_reads += int((~small).sum())
+        pe_v = pe[vsel]
+        pre.molecule_pe += int(pe_v.sum())
+        pre.molecule_se += int((~pe_v).sum())
+        post.sscs_num += int(emitted[vsel].sum())
+        esel = np.nonzero(vec_g & emitted)[0]
+        emc = np.add.reduceat((vec_g & emitted).astype(np.int64), cg_start)
+        post.cluster += int(((emc > 0) & vec_cl).sum())
+        post.multi_molecule_cluster += int(((emc > 1) & vec_cl).sum())
+        post.molecule += len(esel)
+        post.supporting_histogram[1] += len(esel)
+        pee = pe[esel]
+        post.molecule_pe += int(pee.sum())
+        post.molecule_se += int((~pee).sum())
+
         # ---- scalar clusters (rare): exact OPair path ----
         scalar_results = {}
         for ci in np.nonzero(scalar_cl)[0]:
@@ -2270,12 +2448,6 @@ class VectorEngine:
                 singles, bool(has_umi_cl[ci]), opt, pre, post)
 
         # ---- emission in cluster order ----
-        lq = batch.l_qseq
-        jbuf = jobs._buf if len(jobs) and jobs._buf is not None \
-            else np.zeros(1, dtype=np.int32)
-        jrow = jobs._row if len(jobs) and jobs._row is not None \
-            else np.zeros(1, dtype=np.int32)
-
         def emit_block(gis):
             """Columnar OutBlock for an ascending run of vector groups:
             per group [single-or-left, right?] in the serial order the
@@ -2292,6 +2464,7 @@ class VectorEngine:
             qrec = np.zeros(total, dtype=np.int64)
             nm = np.full(total, -1, dtype=np.int64)
             fr = np.zeros(total, dtype=np.int64)
+            rr = np.full(total, -1, dtype=np.int64)
             buf = np.full(total, -1, dtype=np.int64)
             row = np.zeros(total, dtype=np.int64)
             sp = base[:-1][sing]
@@ -2299,12 +2472,14 @@ class VectorEngine:
             rec[sp] = srec
             qrec[sp] = srec
             fr[sp] = fr_val[gis[sing]]
+            rr[sp] = rr_val[gis[sing]]
             lp2 = base[:-1][lw]
             jidl = lj[gis[lw]]
             rec[lp2] = job_tr[jidl]
             qrec[lp2] = qrec_l[gis[lw]]
             nm[lp2] = nm_l[gis[lw]]
             fr[lp2] = fr_val[gis[lw]]
+            rr[lp2] = rr_val[gis[lw]]
             buf[lp2] = jbuf[jidl]
             row[lp2] = jrow[jidl]
             rp2 = (base[:-1] + first_slot)[rw]
@@ -2313,12 +2488,13 @@ class VectorEngine:
             qrec[rp2] = qrec_r[gis[rw]]
             nm[rp2] = nm_r[gis[rw]]
             fr[rp2] = fr_val[gis[rw]]
+            rr[rp2] = rr_val[gis[rw]]
             buf[rp2] = jbuf[jidr]
             row[rp2] = jrow[jidr]
             serial = self._serial + 1 + np.arange(total, dtype=np.int64)
             self._serial += total
             blk = OutBlock(rec, qrec, nm, fr, serial, jobs._seqbufs,
-                           buf, row)
+                           buf, row, rr_tag=rr)
             # override jobs carry materialized rows instead of buffer refs
             for p2, jid in ((lp2, jidl), (rp2, jidr)):
                 for k in np.nonzero(jbuf[jid] < 0)[0]:
@@ -2327,9 +2503,23 @@ class VectorEngine:
                     n = int(lq[rec[pp]])
                     blk.ovr[pp] = (jobs.new_seq(ji)[:n],
                                    jobs.new_qual(ji)[:n])
+            if dup_ovr:
+                # duplex-masked single-group survivors materialize rows
+                for k in np.nonzero(sing)[0]:
+                    o = dup_ovr.get(int(gis[k]))
+                    if o is not None:
+                        blk.ovr[int(base[k])] = o
             return blk
 
-        vec_emit = np.nonzero(vec_g & emitted & (l_ex | r_ex))[0]
+        emit_sel = np.nonzero(vec_g & emitted & (l_ex | r_ex))[0]
+        if emit_rank is not None and len(emit_sel):
+            # duplex clusters emit survivors in back-pop order; plain
+            # clusters keep ascending group order (their local index)
+            key2 = np.where(dup_g[emit_sel], emit_rank[emit_sel],
+                            emit_sel - cg_start[g_cluster[emit_sel]])
+            vec_emit = emit_sel[np.lexsort((key2, g_cluster[emit_sel]))]
+        else:
+            vec_emit = emit_sel
         if not scalar_results:
             if len(vec_emit):
                 out_records.append(emit_block(vec_emit))

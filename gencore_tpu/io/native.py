@@ -135,6 +135,11 @@ def get_lib():
                                       ctypes.c_void_p, ctypes.c_void_p,
                                       ctypes.c_void_p, ctypes.c_void_p,
                                       ctypes.c_int]
+    if hasattr(lib, "gc_mi_flags"):
+        lib.gc_mi_flags.restype = None
+        lib.gc_mi_flags.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_void_p, ctypes.c_int64,
+                                    ctypes.c_void_p, ctypes.c_int]
     lib.gc_greedy_group.restype = ctypes.c_int64
     lib.gc_greedy_group.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                     ctypes.c_void_p, ctypes.c_int64,
@@ -431,6 +436,21 @@ def qual_edits(data: np.ndarray, qual_off, lens, cap: int):
                       base.ctypes.data, cnt.ctypes.data, pos.ctypes.data,
                       val.ctypes.data, seen.ctypes.data, 0)
     return base, cnt, pos, val, seen
+
+
+def mi_flags(data: np.ndarray, aux_off, end):
+    """Per-record MI:Z candidate flags via threaded memchr over aux spans
+    (gc_mi_flags). Returns uint8[n] or None without the native lib."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gc_mi_flags"):
+        return None
+    ao = _c64(aux_off)
+    en = _c64(end)
+    n = len(ao)
+    out = np.zeros(n, dtype=np.uint8)
+    lib.gc_mi_flags(np.ascontiguousarray(data, dtype=np.uint8).ctypes.data,
+                    ao.ctypes.data, en.ctypes.data, n, out.ctypes.data, 0)
+    return out
 
 
 def pack2_rows(packed: np.ndarray, lens, lut: np.ndarray,

@@ -303,6 +303,46 @@ int64_t gc_bam_scan_partial(const uint8_t* payload, int64_t len,
   return n;
 }
 
+// Per-record MI:Z-tag candidate flags: out[i] = 1 when record i's aux
+// span contains the byte sequence 'M','I','Z' (same candidate predicate
+// as the engine's whole-payload numpy scan it replaces — a value-byte
+// false positive only costs a later per-record verification walk).
+// Threaded memchr over aux spans only (~30 B/record vs the whole
+// payload), reference consults MI per read via bamutil.cpp:23-38.
+void gc_mi_flags(const uint8_t* data, const int64_t* aux_off,
+                 const int64_t* end, int64_t n, uint8_t* out,
+                 int n_threads) {
+  int nt = hw_threads(n_threads);
+  std::atomic<int64_t> next(0);
+  const int64_t kChunk = 4096;
+  auto worker = [&]() {
+    for (;;) {
+      int64_t lo = next.fetch_add(kChunk);
+      if (lo >= n) break;
+      int64_t hi = std::min(lo + kChunk, n);
+      for (int64_t i = lo; i < hi; ++i) {
+        out[i] = 0;
+        const uint8_t* p = data + aux_off[i];
+        const uint8_t* e = data + end[i] - 3;  // need M,I,Z + 1 value byte
+        while (p < e) {
+          const uint8_t* m =
+              static_cast<const uint8_t*>(memchr(p, 'M', e - p));
+          if (!m) break;
+          if (m[1] == 'I' && m[2] == 'Z') {
+            out[i] = 1;
+            break;
+          }
+          p = m + 1;
+        }
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < nt; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& t : threads) t.join();
+}
+
 // Duplicate-aware upload staging: per-row nibble diff vs a representative
 // row of the same packed matrix. For row i with rep r = rep_idx[i], emits
 // up to `cap` (pos, code) edits where the nibble at pos (< lens[i])

@@ -73,3 +73,32 @@ def test_tsan_native_core():
                        capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "WARNING: ThreadSanitizer" not in r.stderr
+
+
+def test_mi_flags_matches_numpy_predicate():
+    """gc_mi_flags must reproduce the engine's numpy candidate predicate
+    ('M','I','Z' inside [aux_off, end-4)) byte for byte."""
+    rng = np.random.default_rng(17)
+    n = 3000
+    parts, aux_off, end = [], np.zeros(n, np.int64), np.zeros(n, np.int64)
+    p = 0
+    for i in range(n):
+        body = rng.integers(0, 256, int(rng.integers(36, 80)), dtype=np.uint8)
+        if rng.random() < 0.25:
+            k = int(rng.integers(0, len(body) - 4))
+            body[k:k + 3] = [ord("M"), ord("I"), ord("Z")]
+        aux_off[i] = p + 8
+        end[i] = p + len(body)
+        parts.append(body)
+        p += len(body)
+    d = np.concatenate(parts)
+    f = native.mi_flags(d, aux_off, end)
+    assert f is not None
+    ref = np.zeros(n, dtype=np.uint8)
+    cand = np.nonzero(d[:-3] == ord("M"))[0]
+    pp = cand[(d[cand + 1] == ord("I")) & (d[cand + 2] == ord("Z"))]
+    for q in pp:
+        i = int(np.searchsorted(end, q, side="right"))
+        if i < n and aux_off[i] <= q and q + 3 < end[i]:
+            ref[i] = 1
+    assert (f == ref).all()
