@@ -27,21 +27,93 @@ def duplex_merge(p1, p2) -> int:
     return d
 
 
-def duplex_merge_bam(b1, b2) -> int:
-    """Mask disagreeing bases to N/qual0 in BOTH reads; return mismatch count
-    plus the length difference (reference cluster.cpp:199-244; see oracle
-    docstring for the packed-byte equivalence argument)."""
-    len1, len2 = b1.l_qseq, b2.l_qseq
+# char class of a 4-bit code under BamUtil::fourbits2base
+# (bamutil.cpp:149-164): ACGTN keep their code, everything else prints as
+# 'N' — two distinct invalid codes compare EQUAL as characters
+_CHAR_CLASS = np.full(16, N4BITS, dtype=np.uint8)
+for _c in (1, 2, 4, 8, 15):
+    _CHAR_CLASS[_c] = _c
+_EMPTY = np.zeros(0, dtype=np.int64)
+
+
+def duplex_merge_rows(s1, s2):
+    """(diff, mask_positions) of the reference's duplexMergeBam walk
+    (cluster.cpp:199-244) over unpacked 4-bit code rows.
+
+    The reference iterates PACKED bytes with an extra `i++` whenever the
+    current byte compares equal. Masking a mismatch at an even position
+    writes N into the high nibble of BOTH rows; if the low nibbles agree
+    the byte becomes equal, the follow-up odd check takes the equal-byte
+    skip, and the walk flips into an odd-position phase where even
+    positions are only ever byte-checked — mismatches there are neither
+    counted nor masked until an unequal byte flips the phase back. This
+    undercount is load-bearing for output parity (a duplex the strict
+    per-base count would drop at d>threshold survives), so the walk is
+    replicated byte-exactly, reduced to the sparse list of unequal bytes
+    (equal bytes skip in either phase with no state change)."""
+    len1, len2 = len(s1), len(s2)
     d = abs(len1 - len2)
     n = min(len1, len2)
-    s1, s2 = b1.seq, b2.seq
-    mism = np.nonzero(s1[:n] != s2[:n])[0]
+    if n == 0:
+        return d, _EMPTY
+    K = (n + 1) // 2
+    p1 = np.zeros(2 * K, dtype=np.uint8)
+    p2 = np.zeros(2 * K, dtype=np.uint8)
+    m1 = min(len1, 2 * K)
+    m2 = min(len2, 2 * K)
+    p1[:m1] = s1[:m1]
+    p2[:m2] = s2[:m2]
+    diffb = np.nonzero(((p1[0::2] << 4) | p1[1::2])
+                       != ((p2[0::2] << 4) | p2[1::2]))[0]
+    if not len(diffb):
+        return d, _EMPTY
+    c1 = _CHAR_CLASS[p1 & 0xF]
+    c2 = _CHAR_CLASS[p2 & 0xF]
+    masks = []
+    odd_phase = False
+    for k in diffb:
+        i = 2 * int(k)
+        if odd_phase:
+            i += 1
+            if i >= n:
+                break
+            if c1[i] != c2[i]:
+                d += 1
+                masks.append(i)
+            odd_phase = False
+            continue
+        if c1[i] != c2[i]:
+            d += 1
+            masks.append(i)
+            if i + 1 >= n:
+                break
+            if p1[i + 1] == p2[i + 1]:
+                # high nibbles both masked to N, lows agree: the byte is
+                # now equal and the reference skips position i+1 entirely
+                odd_phase = True
+                continue
+            if c1[i + 1] != c2[i + 1]:
+                d += 1
+                masks.append(i + 1)
+        else:
+            if i + 1 >= n:
+                break
+            if c1[i + 1] != c2[i + 1]:
+                d += 1
+                masks.append(i + 1)
+    return int(d), np.asarray(masks, dtype=np.int64)
+
+
+def duplex_merge_bam(b1, b2) -> int:
+    """Mask walk-reached disagreeing bases to N/qual0 in BOTH reads;
+    return the walk's mismatch count plus the length difference
+    (reference cluster.cpp:199-244 via duplex_merge_rows)."""
+    d, mism = duplex_merge_rows(b1.seq, b2.seq)
     if len(mism):
-        d += len(mism)
         b1.qual[mism] = 0
         b2.qual[mism] = 0
-        s1[mism] = N4BITS
-        s2[mism] = N4BITS
+        b1.seq[mism] = N4BITS
+        b2.seq[mism] = N4BITS
     return int(d)
 
 

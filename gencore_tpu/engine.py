@@ -31,7 +31,7 @@ from gencore_tpu.core.cigartable import CigarTable
 from gencore_tpu.core.grouping import greedy_umi_groups
 from gencore_tpu.core.oracle import OPair, RefLookup
 from gencore_tpu.core.output import OutBlock, OutRead, OutputTable
-from gencore_tpu.core.postmerge import postprocess_cluster
+from gencore_tpu.core.postmerge import duplex_merge_rows, postprocess_cluster
 from gencore_tpu.io import bam as bamio
 from gencore_tpu.options import Options
 from gencore_tpu.stats import MAX_SUPPORTING_READS, Stats
@@ -2377,10 +2377,8 @@ class VectorEngine:
                                 continue
                             s1, _ = rows_of(h1)
                             s2, _ = rows_of(h2)
-                            n = min(len(s1), len(s2))
-                            d += abs(len(s1) - len(s2))
-                            mism = np.nonzero(s1[:n] != s2[:n])[0]
-                            d += len(mism)
+                            dd, mism = duplex_merge_rows(s1, s2)
+                            d += dd
                             if len(mism):
                                 masks.append((h1, mism))
                         if d <= thr_d and mr1 + mr2 >= req:

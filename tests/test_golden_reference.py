@@ -126,3 +126,33 @@ def test_golden_watermark_tick_crossing():
     with tempfile.TemporaryDirectory() as wd:
         fails = gc.run_case("golden_tick", sb, [], wd)
         assert not fails, "\n".join(fails)
+
+
+@pytest.mark.skipif(not _ref_available(),
+                    reason="reference binary not buildable in this image")
+def test_golden_duplex_merge_byte_walk():
+    """Duplex-heavy clusters with adjacent consensus mismatches: exercises
+    duplexMergeBam's packed-byte walk quirk (cluster.cpp:199-244 — the
+    extra i++ on byte equality skips positions after a masked even-position
+    mismatch whose low nibbles agree, undercounting d). A strict per-base
+    count drops duplexes the reference keeps; outputs must stay
+    byte-identical as a multiset and JSON equal."""
+    import subprocess
+    import golden_compare as gc
+    rng = np.random.default_rng(77)
+    sb = SyntheticBam(seed=77, contig_len=900_000, n_contigs=2)
+    umis = ["ACGT", "TGCA", "GGCC", "AATT", "CGCG"]
+    for locus in range(120):
+        tid = locus % 2
+        pos1 = 1000 + 7000 * (locus // 2) + int(rng.integers(0, 50))
+        pos2 = pos1 + 170
+        for _ in range(int(rng.integers(4, 40))):
+            a, b = rng.choice(umis, size=2, replace=False)
+            if rng.random() < 0.5:
+                a, b = b, a
+            n_err = int(rng.random() < 0.4) * int(rng.integers(1, 3))
+            sb.add_pair(tid, pos1, pos2, read_len=120, umi=f"{a}_{b}",
+                        n_errors=n_err, qual=int(rng.choice([12, 25, 35])))
+    with tempfile.TemporaryDirectory() as wd:
+        fails = gc.run_case("golden_duplex_walk", sb, ["-u", "UMI"], wd)
+        assert not fails, "\n".join(fails)
