@@ -355,18 +355,40 @@ def main():
                        if mkbed else None)
                 return o, bed
 
-            o, bed = mk()
-            stream.run_streaming(o, bpath, out_path, fasta=cfg_fasta,
-                                 bed=bed, n_windows=n_windows, warm_only=True)
+            # same path-selection as the CLI: streaming two-pass for files
+            # over the threshold, in-memory window pipeline below it (the
+            # ultradeep amplicon pile compresses far below the threshold
+            # and pays a needless serial index pass under streaming)
+            thr = int(os.environ.get("GENCORE_STREAM_THRESHOLD", 32 << 20))
+            cfg_stream = os.path.getsize(bpath) >= thr
+            from gencore_tpu.parallel.streaming import StreamingBamWriter
+
+            def run_cfg(stage_totals=None, warm_only=False):
+                o, bed = mk()
+                if cfg_stream:
+                    stream.run_streaming(o, bpath, out_path, fasta=cfg_fasta,
+                                         bed=bed, n_windows=n_windows,
+                                         warm_only=warm_only,
+                                         stage_totals=stage_totals)
+                    return
+                rdr = bamio.BamReader(bpath)
+                b = rdr.read_all()
+                ow = (None if warm_only
+                      else StreamingBamWriter(out_path, rdr.header))
+                tables, _, _ = pipe.run_pipelined(
+                    o, b, rdr.header, fasta=cfg_fasta, bed=bed,
+                    n_windows=n_windows, warm_only=warm_only,
+                    stage_totals=stage_totals, out_writer=ow)
+                if ow is not None:
+                    ow.close()
+
+            run_cfg(warm_only=True)
             cfg_runs = []
             cfg_stages = []
             for _ in range(max(N_RUNS, 1)):
-                o, bed = mk()
                 cst: dict = {}
                 t1 = time.time()
-                stream.run_streaming(o, bpath, out_path, fasta=cfg_fasta,
-                                     bed=bed, n_windows=n_windows,
-                                     stage_totals=cst)
+                run_cfg(stage_totals=cst)
                 cfg_runs.append(time.time() - t1)
                 cst.pop("out.records", None)
                 cfg_stages.append({k: round(v, 3) for k, v in sorted(

@@ -73,6 +73,21 @@ def _next_pow2(x: int) -> int:
     return n
 
 
+def _bucket_rows(x: int) -> int:
+    """Smallest padded row count >= x from {2^k, 3*2^(k-1)}, min 16: two
+    shape buckets per octave instead of one. The pow2-only pad wasted up
+    to 2x wire/compute on every per-row array (a 40k-row window padded to
+    65536 rows); 1.5x-steps cap the waste at 1.33x while shapes still
+    recur for the persistent compile cache. Every value >= 16 here is
+    divisible by 8 (Mosaic sublane tiling)."""
+    n = 16
+    while n < x:
+        if (3 * n) >> 1 >= x:
+            return (3 * n) >> 1
+        n <<= 1
+    return n
+
+
 @dataclass
 class _Job:
     group_id: int
@@ -781,15 +796,25 @@ class VectorEngine:
         if work.seq_mode == "2bit":
             full_bins = False
         else:
-            pwf = work.lens // 2
-            cols_p = np.arange(work.seq_packed.shape[1])
-            full_bins = bool(((~_OK_PAIR[work.seq_packed])
-                              & (cols_p[None, :] < pwf[:, None])).any())
-            if not full_bins:
-                oddrows = np.nonzero(work.lens % 2 == 1)[0]
-                if len(oddrows):
-                    lastb = work.seq_packed[oddrows, work.lens[oddrows] // 2]
-                    full_bins = bool((~_OK_HI[lastb]).any())
+            from gencore_tpu.io import native as _nat2
+            seen = (_nat2.nib_seen(work.seq_packed, work.lens)
+                    if work.seq_packed.flags.c_contiguous else None)
+            if seen is not None:
+                # threaded native census: one memory-speed pass
+                full_bins = bool(
+                    (seen[0].astype(bool) & ~_OK_PAIR).any()
+                    or (seen[1].astype(bool) & ~_OK_CODES[:16]).any())
+            else:
+                pwf = work.lens // 2
+                cols_p = np.arange(work.seq_packed.shape[1])
+                full_bins = bool(((~_OK_PAIR[work.seq_packed])
+                                  & (cols_p[None, :] < pwf[:, None])).any())
+                if not full_bins:
+                    oddrows = np.nonzero(work.lens % 2 == 1)[0]
+                    if len(oddrows):
+                        lastb = work.seq_packed[oddrows,
+                                                work.lens[oddrows] // 2]
+                        full_bins = bool((~_OK_HI[lastb]).any())
         with _T("vote"):
             pending = self._vote_jobs(jobs, batch, work, flats, full_bins,
                                       seq_dev, qual_dev, score_dev, ct)
@@ -1505,9 +1530,9 @@ class VectorEngine:
                     host_map[jjs] = np.arange(start, start + len(jjs),
                                               dtype=np.int32)
         self._replay_ref_guards(guard_tid, guard_ok)
-        J2 = _next_pow2(max(J, 1)) if self._pad_shapes else J
+        J2 = _bucket_rows(max(J, 1)) if self._pad_shapes else J
         hr = np.concatenate(host_rows, axis=0)
-        H2 = _next_pow2(hr.shape[0]) if self._pad_shapes else hr.shape[0]
+        H2 = _bucket_rows(hr.shape[0]) if self._pad_shapes else hr.shape[0]
         hr = np.pad(hr, ((0, H2 - hr.shape[0]), (0, 0)))
         gp = np.pad(gpos, (0, J2 - J))
         hm = np.pad(host_map, (0, J2 - J))
@@ -1627,7 +1652,7 @@ class VectorEngine:
                 K = int(K)
                 jlist = np.nonzero(contig & (cls == K))[0]
                 J = len(jlist)
-                J2 = _next_pow2(max(J, 1)) if self._pad_shapes else J
+                J2 = _bucket_rows(max(J, 1)) if self._pad_shapes else J
                 tj0 = max(8, min(32, 1024 // K))
                 if J2 % tj0:
                     J2 += tj0 - J2 % tj0
@@ -1683,7 +1708,7 @@ class VectorEngine:
             jlist = np.nonzero(~handled & (kb_col == kb))[0]
             kb = int(kb)
             J = len(jlist)
-            J2 = _next_pow2(max(J, 1)) if self._pad_shapes else J
+            J2 = _bucket_rows(max(J, 1)) if self._pad_shapes else J
             rows = np.full((J2, kb), work.dummy_row, dtype=np.int32)
             shifts = np.zeros((J2, kb), dtype=np.int32)
             valid = np.zeros((J2, kb), dtype=bool)
@@ -2049,7 +2074,7 @@ class VectorEngine:
             for (jlist, dense_outs, _r0), j2 in zip(entries, J2s):
                 sel = np.nonzero(ov[off:off + j2])[0]
                 if len(sel):
-                    n2 = _next_pow2(len(sel))
+                    n2 = _bucket_rows(len(sel))
                     idxp = np.zeros(n2, dtype=np.int32)
                     idxp[:len(sel)] = sel
                     pseq_d, qual_d = dense_outs[0], dense_outs[1]
@@ -3132,7 +3157,7 @@ def _gather_one(arr, rows):
 
 def _pull_rows(qual_dev, score_dev, need_rows):
     g2, _ = _gather_fns()
-    n2 = _next_pow2(max(len(need_rows), 1))
+    n2 = _bucket_rows(max(len(need_rows), 1))
     padded = np.pad(need_rows, (0, n2 - len(need_rows)))
     q, s = g2(qual_dev, score_dev, padded.astype(np.int32))
     return np.asarray(q), np.asarray(s)
@@ -3189,7 +3214,7 @@ class _WorkArrays:
         self.seg_of_row = seg_of_row
         self._pad_pow2 = pad_pow2
         n = len(cidx)
-        n_pad = _next_pow2(n + 1) if pad_pow2 else n + 1
+        n_pad = _bucket_rows(n + 1) if pad_pow2 else n + 1
         self.n_pad = n_pad
         self.lens = np.zeros(n_pad, dtype=np.int32)
         self.lens[:n] = np.minimum(batch.l_qseq[cidx], w_host)
@@ -3504,17 +3529,17 @@ class _WorkArrays:
                 sd[1:] = sub
 
         p2 = self._pad_pow2
-        nd2 = _next_pow2(nd) if p2 else nd
+        nd2 = _bucket_rows(nd) if p2 else nd
         sd = np.pad(sd, ((0, nd2 - nd), (0, 0)))
         if nq:
-            nq2 = _next_pow2(nq + 1) if p2 else nq + 1
+            nq2 = _bucket_rows(nq + 1) if p2 else nq + 1
             qd = np.pad(qd, ((0, nq2 - qd.shape[0]), (0, 0)))
         if E:
-            E2 = _next_pow2(E) if p2 else E
+            E2 = _bucket_rows(E) if p2 else E
             epos = np.pad(epos, (0, E2 - E))
             ecode = np.pad(ecode, (0, E2 - E))
         if Eq:
-            Eq2 = _next_pow2(Eq) if p2 else Eq
+            Eq2 = _bucket_rows(Eq) if p2 else Eq
             qpos = np.pad(qpos, (0, Eq2 - Eq))
             qval = np.pad(qval, (0, Eq2 - Eq))
         z1 = np.zeros(1, dtype=np.uint8)

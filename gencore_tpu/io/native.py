@@ -135,6 +135,12 @@ def get_lib():
                                       ctypes.c_void_p, ctypes.c_void_p,
                                       ctypes.c_void_p, ctypes.c_void_p,
                                       ctypes.c_int]
+    if hasattr(lib, "gc_nib_seen"):
+        lib.gc_nib_seen.restype = None
+        lib.gc_nib_seen.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                    ctypes.c_int64, ctypes.c_void_p,
+                                    ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_int]
     if hasattr(lib, "gc_mi_flags"):
         lib.gc_mi_flags.restype = None
         lib.gc_mi_flags.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
@@ -451,6 +457,25 @@ def mi_flags(data: np.ndarray, aux_off, end):
     lib.gc_mi_flags(np.ascontiguousarray(data, dtype=np.uint8).ctypes.data,
                     ao.ctypes.data, en.ctypes.data, n, out.ctypes.data, 0)
     return out
+
+
+def nib_seen(packed: np.ndarray, lens, n: int = None):
+    """(seen256, seen16) byte/odd-tail-nibble presence masks over the
+    first `n` rows of a packed nibble matrix (gc_nib_seen), or None
+    without the native lib."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gc_nib_seen"):
+        return None
+    packed = np.ascontiguousarray(packed, dtype=np.uint8)
+    rows, pw = packed.shape
+    if n is None:
+        n = rows
+    ln = _c32(lens)
+    seen256 = np.zeros(256, dtype=np.uint8)
+    seen16 = np.zeros(16, dtype=np.uint8)
+    lib.gc_nib_seen(packed.ctypes.data, min(n, rows), pw, ln.ctypes.data,
+                    seen256.ctypes.data, seen16.ctypes.data, 0)
+    return seen256, seen16
 
 
 def pack2_rows(packed: np.ndarray, lens, lut: np.ndarray,

@@ -343,6 +343,44 @@ void gc_mi_flags(const uint8_t* data, const int64_t* aux_off,
   for (auto& t : threads) t.join();
 }
 
+// Packed-seq value census for the =ACGTN full-bins gate: marks every
+// byte value occurring within a row's lens[i]/2 full bytes in seen256,
+// and the high nibble of the odd-length tail byte in seen16 (the tail's
+// low nibble is padding, masked on device). One threaded memory-speed
+// pass replaces the numpy LUT+mask scan over the whole matrix.
+void gc_nib_seen(const uint8_t* packed, int64_t n, int64_t pw,
+                 const int32_t* lens, uint8_t* seen256, uint8_t* seen16,
+                 int n_threads) {
+  int nt = hw_threads(n_threads);
+  std::atomic<int64_t> next(0);
+  std::mutex mu;
+  const int64_t kChunk = 1024;
+  auto worker = [&]() {
+    uint8_t loc256[256] = {0};
+    uint8_t loc16[16] = {0};
+    for (;;) {
+      int64_t lo = next.fetch_add(kChunk);
+      if (lo >= n) break;
+      int64_t hi = std::min(lo + kChunk, n);
+      for (int64_t i = lo; i < hi; ++i) {
+        const uint8_t* row = packed + i * pw;
+        int32_t l = lens[i];
+        if (l > 2 * pw) l = (int32_t)(2 * pw);
+        int64_t nb = l / 2;
+        for (int64_t k = 0; k < nb; ++k) loc256[row[k]] = 1;
+        if (l & 1) loc16[row[nb] >> 4] = 1;
+      }
+    }
+    std::lock_guard<std::mutex> g(mu);
+    for (int v = 0; v < 256; ++v) seen256[v] |= loc256[v];
+    for (int v = 0; v < 16; ++v) seen16[v] |= loc16[v];
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < nt; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& t : threads) t.join();
+}
+
 // Duplicate-aware upload staging: per-row nibble diff vs a representative
 // row of the same packed matrix. For row i with rep r = rep_idx[i], emits
 // up to `cap` (pos, code) edits where the nibble at pos (< lens[i])

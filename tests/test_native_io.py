@@ -102,3 +102,23 @@ def test_mi_flags_matches_numpy_predicate():
         if i < n and aux_off[i] <= q and q + 3 < end[i]:
             ref[i] = 1
     assert (f == ref).all()
+
+
+def test_nib_seen_matches_numpy_scan():
+    """gc_nib_seen must agree with the full-bins numpy scan: byte values
+    within lens/2 full bytes + odd-tail high nibbles."""
+    rng = np.random.default_rng(23)
+    n, pw = 500, 40
+    packed = rng.integers(0, 256, (n, pw), dtype=np.uint8)
+    lens = rng.integers(0, 2 * pw + 1, n).astype(np.int32)
+    got = native.nib_seen(packed, lens)
+    assert got is not None
+    s256 = np.zeros(256, dtype=bool)
+    s16 = np.zeros(16, dtype=bool)
+    for i in range(n):
+        nb = int(lens[i]) // 2
+        s256[packed[i, :nb]] = True
+        if lens[i] % 2:
+            s16[packed[i, nb] >> 4] = True
+    assert (got[0].astype(bool) == s256).all()
+    assert (got[1].astype(bool) == s16).all()
