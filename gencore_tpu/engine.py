@@ -730,11 +730,20 @@ class VectorEngine:
         self.out_len = max(((max_len + 7) // 8) * 8, 8)
         with _T("materialize"):
             with _T("materialize.host"):
+                gref_ok = (self._genome is not None
+                           and len(self._genome) < 2**31 - _GENOME_PAD
+                           and self.max_len <= _GENOME_PAD
+                           and len(self._genome) > 0)
                 work = _WorkArrays(batch, cidx_rows, self.max_len,
                                    w_host=self.out_len,
                                    pad_pow2=self._pad_shapes,
                                    sorted_cidx=cidx, rank2row=rank2row,
-                                   seg_of_row=seg_of_row)
+                                   seg_of_row=seg_of_row,
+                                   genome=self._genome if gref_ok else None,
+                                   contig_base=self._contig_base
+                                   if gref_ok else None,
+                                   contig_len=self._contig_len
+                                   if gref_ok else None)
                 self.work = work
                 ct = CigarTable(batch, cidx_rows)
             # read matrices live on device for the fused kernel pipeline.
@@ -751,7 +760,10 @@ class VectorEngine:
                 seq_dev = qual_dev = lens_dev = None
             else:
                 with _T("materialize.updispatch"):
-                    seq_dev, qual_dev, lens_dev = work.upload()
+                    seq_dev, qual_dev, lens_dev = work.upload(
+                        genome_dev=self._genome_dev()
+                        if (work.upload_mode == "sparse"
+                            and work._sup["has_genome"]) else None)
                     if work.upload_mode == "sparse":
                         self._acct_up(*[v for v in work._sup.values()
                                         if isinstance(v, np.ndarray)])
@@ -1286,15 +1298,18 @@ class VectorEngine:
             self._acct_up(mate16, meta,
                           *[v for v in s.values()
                             if isinstance(v, np.ndarray)])
+            g = (self._genome_dev() if s["has_genome"]
+                 else np.zeros(1, np.uint8))
             with _Ts("score.dispatch"):
                 seq_dev, qual_dev, score_dev = _upload_score_fn(
                     work.w_host, work.L, s["mode2"], s["has_sedit"],
                     s["has_qdense"], s["has_qedit"], s["const_lens"],
                     opts["hi"], opts["mod"], opts["lo"], opts["s_hi"],
-                    opts["s_mod"], opts["s_lo"], opts["s_bad"])(
+                    opts["s_mod"], opts["s_lo"], opts["s_bad"],
+                    s["has_genome"])(
                     s["sd"], s["src"], s["scnt"], s["epos"], s["ecode"],
                     s["base"], s["q_src"], s["qd"], s["qcnt"], s["qpos"],
-                    s["qval"], s["lens16"], mate16, meta)
+                    s["qval"], s["lens16"], mate16, meta, g, s["gslots"])
             # staging handed to the async dispatch; jax holds what it
             # needs — drop our references so inflight windows don't stack
             # ~8MB of dead staging each
@@ -2874,10 +2889,15 @@ _SPARSE_QUAL_CAP = 12  # per-row qual edits before the row ships raw
 
 def _upload_sparse_trace(w: int, L: int, mode2: bool, has_sedit: bool,
                          has_qdense: bool, has_qedit: bool,
-                         const_lens: bool):
+                         const_lens: bool, has_genome: bool = False):
     """Traceable core of the duplicate-aware upload reconstruction (see
     _upload_sparse_fn); shared by the standalone upload jit and the fused
-    upload+score program."""
+    upload+score program. With has_genome, extra genome-slot rows are
+    appended to the dense table: slot t holds the NT16 genome slice at
+    gsl[t] (vmapped dynamic_slice from the HBM-resident genome), and
+    genome-sourced rows land their ref-diff edits through the normal
+    per-row edit stream — no dense head rows ship for those segments."""
+    import jax
     import jax.numpy as jnp
 
     def un2(packed, n):
@@ -2904,7 +2924,7 @@ def _upload_sparse_trace(w: int, L: int, mode2: bool, has_sedit: bool,
         return mat
 
     def up(sd, src, scnt, epos, ecode, base, q_src, qd, qcnt, qpos, qval,
-           lens16):
+           lens16, genome, gsl):
         n = src.shape[0]
         nd = sd.shape[0]
         if mode2:
@@ -2914,6 +2934,10 @@ def _upload_sparse_trace(w: int, L: int, mode2: bool, has_sedit: bool,
                               jnp.uint8(0), dense)
         else:
             dense = un4(sd, nd)
+        if has_genome:
+            gv = jax.vmap(
+                lambda st: jax.lax.dynamic_slice(genome, (st,), (w,)))(gsl)
+            dense = jnp.concatenate([dense, gv], axis=0)
         seq = dense[src.astype(jnp.int32)]
         j = jnp.arange(w, dtype=jnp.int32)[None, :]
         if has_sedit:
@@ -2945,7 +2969,7 @@ def _upload_sparse_trace(w: int, L: int, mode2: bool, has_sedit: bool,
 @_functools.cache
 def _upload_sparse_fn(w: int, L: int, mode2: bool, has_sedit: bool,
                       has_qdense: bool, has_qedit: bool,
-                      const_lens: bool = False):
+                      const_lens: bool = False, has_genome: bool = False):
     """Duplicate-aware upload reconstruction: the wire carries one dense
     row per (group, side) segment (2-bit packed when pure ACGT) plus flat
     per-member (pos, code) seq edits and per-row qual base values with
@@ -2955,14 +2979,14 @@ def _upload_sparse_fn(w: int, L: int, mode2: bool, has_sedit: bool,
     cumsum over the per-row counts, so no row array ships."""
     import jax
     return jax.jit(_upload_sparse_trace(w, L, mode2, has_sedit, has_qdense,
-                                        has_qedit, const_lens))
+                                        has_qedit, const_lens, has_genome))
 
 
 @_functools.cache
 def _upload_score_fn(w: int, L: int, mode2: bool, has_sedit: bool,
                      has_qdense: bool, has_qedit: bool, const_lens: bool,
                      hi: int, mod: int, lo: int, s_hi: int, s_mod: int,
-                     s_lo: int, s_bad: int):
+                     s_lo: int, s_bad: int, has_genome: bool = False):
     """Fused upload-reconstruction + overlap-scoring program: ONE device
     execute builds the resident seq/qual matrices from the sparse wire
     form AND applies Pair::computeScore across all rows (pair.cpp:88-172).
@@ -2971,13 +2995,13 @@ def _upload_score_fn(w: int, L: int, mode2: bool, has_sedit: bool,
     import jax
 
     up = _upload_sparse_trace(w, L, mode2, has_sedit, has_qdense,
-                              has_qedit, const_lens)
+                              has_qedit, const_lens, has_genome)
 
     @jax.jit
     def f(sd, src, scnt, epos, ecode, base, q_src, qd, qcnt, qpos, qval,
-          lens16, mate16, meta):
+          lens16, mate16, meta, genome, gsl):
         seq, qual, lens = up(sd, src, scnt, epos, ecode, base, q_src, qd,
-                             qcnt, qpos, qval, lens16)
+                             qcnt, qpos, qval, lens16, genome, gsl)
         score, qual2 = kernels.score_map_kernel_packed(
             seq, qual, lens, mate16, meta, hi=hi, mod=mod, lo=lo,
             s_hi=s_hi, s_mod=s_mod, s_lo=s_lo, s_bad=s_bad)
@@ -3188,7 +3212,9 @@ class _WorkArrays:
     def __init__(self, batch, cidx: np.ndarray, max_len: int,
                  w_host: int | None = None, pad_pow2: bool = True,
                  sorted_cidx: np.ndarray = None, rank2row: np.ndarray = None,
-                 seg_of_row: np.ndarray = None):
+                 seg_of_row: np.ndarray = None, genome: np.ndarray = None,
+                 contig_base: np.ndarray = None,
+                 contig_len: np.ndarray = None):
         """max_len is the device width L; w_host (defaults to L) is the
         narrower transfer width — enough for real read bases. The host
         keeps only compact upload staging (4-bit packed seq; quals as
@@ -3213,6 +3239,13 @@ class _WorkArrays:
         self._rank2row = rank2row
         self.seg_of_row = seg_of_row
         self._pad_pow2 = pad_pow2
+        # host ASCII genome + contig geometry for genome-sourced upload
+        # rows (all-M in-contig rows reconstruct on device from the
+        # HBM-resident genome + their own ref-diff edits instead of
+        # shipping dense segment heads — VERDICT r4 #2)
+        self._genome = genome
+        self._contig_base = contig_base
+        self._contig_len = contig_len
         n = len(cidx)
         n_pad = _bucket_rows(n + 1) if pad_pow2 else n + 1
         self.n_pad = n_pad
@@ -3377,17 +3410,65 @@ class _WorkArrays:
             heads = np.zeros(0, dtype=np.int64)
             rep = np.zeros(0, dtype=np.int64)
 
-        # ---- seq: nibble diff vs segment head ----
+        # ---- genome-sourced rows: all-M in-contig rows reconstruct from
+        # the device-resident genome + their own ref-diff edits; segments
+        # where EVERY row qualifies ship NO dense head at all (slots are
+        # 4-byte genome offsets). Mixed/ineligible segments keep the
+        # head-dense + member-diff scheme below. ----
         from gencore_tpu.io import native
+        cap = _SPARSE_SEQ_CAP
+        import os as _os3
+        red = None
+        gpos_row = np.full(max(ne, 1), -1, dtype=np.int64)
+        if (self._genome is not None and use_native and ne
+                and not _os3.environ.get("GENCORE_NO_GENOME_UP")):
+            rec = cidx[:ne]
+            lq = batch.l_qseq[rec].astype(np.int64)
+            co = batch.cigar_off[rec]
+            d = batch.data
+            u32 = (d[co].astype(np.uint32)
+                   | (d[co + 1].astype(np.uint32) << 8)
+                   | (d[co + 2].astype(np.uint32) << 16)
+                   | (d[co + 3].astype(np.uint32) << 24))
+            t = batch.tid[rec].astype(np.int64)
+            p = batch.pos[rec].astype(np.int64)
+            tok = (t >= 0) & (t < len(self._contig_len))
+            tc = np.clip(t, 0, max(len(self._contig_len) - 1, 0))
+            ok = ((batch.n_cigar[rec] == 1)
+                  & (u32 == (lq.astype(np.uint32) << 4))
+                  & tok & (p >= 0) & (p + lq <= self._contig_len[tc]))
+            if ok.any():
+                gpos_row[:ne][ok] = (self._contig_base[tc] + p)[ok]
+                red = native.ref_edits(self.seq_packed[:ne], ln,
+                                       self._genome, gpos_row[:ne], cap)
+        row_g = np.zeros(ne, dtype=bool)
+        if red is not None and ne:
+            # a segment goes genome-mode only when every row qualifies
+            # (member edits below are diffs vs the head row, which a
+            # genome-mode segment no longer ships)
+            seg_bad = np.logical_or.reduceat(red[0] >= 128, heads)
+            row_g = ~seg_bad[seg]
+            if not row_g.any():
+                red = None
+
         sed = (native.seq_edits(self.seq_packed[:ne], rep, ln,
                                 _SPARSE_SEQ_CAP)
-               if use_native and ne else None)
-        cap = _SPARSE_SEQ_CAP
-        if sed is not None:
-            cnt_s, pos_s, code_s = sed
+               if use_native and ne and not row_g.all() else None)
+        if sed is not None or red is not None:
+            if sed is not None:
+                cnt_s, pos_s, code_s = sed
+            else:
+                cnt_s = np.zeros(ne, dtype=np.uint8)
+                pos_s = np.zeros((ne, cap), dtype=np.uint8)
+                code_s = np.zeros((ne, cap), dtype=np.uint8)
             dense_mask = np.zeros(ne, dtype=bool)
             dense_mask[heads] = True
             dense_mask |= cnt_s == 255
+            if red is not None:
+                dense_mask &= ~row_g
+                cnt_s = np.where(row_g, red[0], cnt_s)
+                pos_s = np.where(row_g[:, None], red[1], pos_s)
+                code_s = np.where(row_g[:, None], red[2], code_s)
             scnt_e = np.where(dense_mask, 0, cnt_s).astype(np.uint8)
             vm = np.arange(cap, dtype=np.uint8)[None, :] < scnt_e[:, None]
             epos = pos_s[vm]          # C-order: grouped by row
@@ -3421,12 +3502,27 @@ class _WorkArrays:
         nd = len(dense_rows) + 1  # index 0 = reserved all-zero row
         if nd > 65535:
             return False
+        nd2 = _bucket_rows(nd) if self._pad_pow2 else nd
+        gslots = np.zeros(1, dtype=np.int32)
+        has_genome = False
         src = np.zeros(n_pad, dtype=np.uint16)
         dense_id = np.zeros(max(ne, 1), dtype=np.int64)
         dense_id[dense_rows] = 1 + np.arange(len(dense_rows))
         if ne:
             src[:ne] = np.where(dense_mask, dense_id[:ne],
                                 dense_id[rep]).astype(np.uint16)
+        if red is not None and row_g.any():
+            # genome slots sit after the PADDED dense table on device:
+            # src = nd2 + slot; one i32 genome offset per distinct window
+            ug, ginv = np.unique(gpos_row[:ne][row_g], return_inverse=True)
+            ns = len(ug)
+            ns2 = _bucket_rows(ns) if self._pad_pow2 else ns
+            if nd2 + ns2 > 65535:
+                return False
+            has_genome = True
+            gslots = np.zeros(ns2, dtype=np.int32)
+            gslots[:ns] = ug.astype(np.int32)
+            src[:ne][row_g] = (nd2 + ginv).astype(np.uint16)
         scnt = np.zeros(n_pad, dtype=np.uint8)
         scnt[:ne] = scnt_e
         E = len(epos)
@@ -3560,22 +3656,26 @@ class _WorkArrays:
             has_qedit=Eq > 0,
             qcnt=qcnt if Eq else z1, qpos=qpos if Eq else z1,
             qval=qval if Eq else z1,
-            const_lens=const_lens, lens16=lens16)
+            const_lens=const_lens, lens16=lens16,
+            has_genome=has_genome, gslots=gslots)
         return True
 
-    def upload(self):
+    def upload(self, genome_dev=None):
         """Dispatch the async host->device upload; returns device-resident
         (seq_dev, qual_dev, lens_dev): [n_pad, L] uint8 matrices plus the
         int32 per-row lengths (consumed by the packed score kernel so the
-        lengths never ship twice)."""
+        lengths never ship twice). genome_dev: the HBM-resident NT16
+        genome, required when the staging has genome-sourced rows."""
         if self.upload_mode == "sparse":
             s = self._sup
+            g = genome_dev if s["has_genome"] else np.zeros(1, np.uint8)
             return _upload_sparse_fn(
                 self.w_host, self.L, s["mode2"], s["has_sedit"],
-                s["has_qdense"], s["has_qedit"], s["const_lens"])(
+                s["has_qdense"], s["has_qedit"], s["const_lens"],
+                s["has_genome"])(
                 s["sd"], s["src"], s["scnt"], s["epos"], s["ecode"],
                 s["base"], s["q_src"], s["qd"], s["qcnt"], s["qpos"],
-                s["qval"], s["lens16"])
+                s["qval"], s["lens16"], g, s["gslots"])
         return _upload_unpack_fn(
             self.w_host, self.L, self.qual_mode, self.seq_mode)(
             self.seq_up, self.qual_up, self.lens, self.qtable16)

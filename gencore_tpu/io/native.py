@@ -135,6 +135,14 @@ def get_lib():
                                       ctypes.c_void_p, ctypes.c_void_p,
                                       ctypes.c_void_p, ctypes.c_void_p,
                                       ctypes.c_int]
+    if hasattr(lib, "gc_ref_edits"):
+        lib.gc_ref_edits.restype = None
+        lib.gc_ref_edits.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                     ctypes.c_int64, ctypes.c_void_p,
+                                     ctypes.c_void_p, ctypes.c_int64,
+                                     ctypes.c_void_p, ctypes.c_int,
+                                     ctypes.c_void_p, ctypes.c_void_p,
+                                     ctypes.c_void_p, ctypes.c_int]
     if hasattr(lib, "gc_nib_seen"):
         lib.gc_nib_seen.restype = None
         lib.gc_nib_seen.argtypes = [ctypes.c_void_p, ctypes.c_int64,
@@ -442,6 +450,29 @@ def qual_edits(data: np.ndarray, qual_off, lens, cap: int):
                       base.ctypes.data, cnt.ctypes.data, pos.ctypes.data,
                       val.ctypes.data, seen.ctypes.data, 0)
     return base, cnt, pos, val, seen
+
+
+def ref_edits(packed: np.ndarray, lens, genome: np.ndarray, gpos,
+              cap: int):
+    """Threaded per-row nibble diff vs NT16 genome slices (gc_ref_edits).
+    Returns (cnt u8[n], pos u8[n,cap], code u8[n,cap]); cnt 255 =
+    overflow, 254 = ineligible (gpos<0 / out of range). None without the
+    native lib."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gc_ref_edits"):
+        return None
+    packed = np.ascontiguousarray(packed, dtype=np.uint8)
+    n, pw = packed.shape
+    ln = _c32(lens)
+    gp = _c64(gpos)
+    g = np.ascontiguousarray(genome, dtype=np.uint8)
+    cnt = np.zeros(n, dtype=np.uint8)
+    pos = np.zeros((n, cap), dtype=np.uint8)
+    code = np.zeros((n, cap), dtype=np.uint8)
+    lib.gc_ref_edits(packed.ctypes.data, n, pw, ln.ctypes.data,
+                     g.ctypes.data, len(g), gp.ctypes.data, cap,
+                     cnt.ctypes.data, pos.ctypes.data, code.ctypes.data, 0)
+    return cnt, pos, code
 
 
 def mi_flags(data: np.ndarray, aux_off, end):

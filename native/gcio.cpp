@@ -303,6 +303,63 @@ int64_t gc_bam_scan_partial(const uint8_t* payload, int64_t len,
   return n;
 }
 
+// Genome-reference row diff for the sparse upload: row i (4-bit packed
+// nibbles, lens[i] bases) is compared against NT16(genome[gpos[i]+j])
+// using the engine's ASCII->NT16 map (A=1 C=2 G=4 T=8, else 0); up to
+// `cap` (pos, row-nibble) edits are emitted, cnt 255 marks overflow and
+// cnt 254 marks rows with gpos < 0 (ineligible). A row reconstructed on
+// device as genome-slice + these edits is then bit-exact.
+void gc_ref_edits(const uint8_t* packed, int64_t n, int64_t pw,
+                  const int32_t* lens, const uint8_t* genome, int64_t glen,
+                  const int64_t* gpos, int cap, uint8_t* cnt, uint8_t* pos,
+                  uint8_t* code, int n_threads) {
+  uint8_t nt16[256];
+  memset(nt16, 0, sizeof(nt16));
+  nt16[(unsigned char)'A'] = 1;
+  nt16[(unsigned char)'C'] = 2;
+  nt16[(unsigned char)'G'] = 4;
+  nt16[(unsigned char)'T'] = 8;
+  int nt = hw_threads(n_threads);
+  std::atomic<int64_t> next(0);
+  const int64_t kChunk = 512;
+  auto worker = [&]() {
+    for (;;) {
+      int64_t lo = next.fetch_add(kChunk);
+      if (lo >= n) break;
+      int64_t hi = std::min(lo + kChunk, n);
+      for (int64_t i = lo; i < hi; ++i) {
+        int64_t g0 = gpos[i];
+        int32_t l = lens[i];
+        if (l > 2 * pw) l = (int32_t)(2 * pw);
+        if (g0 < 0 || g0 + l > glen) {
+          cnt[i] = 254;
+          continue;
+        }
+        const uint8_t* row = packed + i * pw;
+        const uint8_t* g = genome + g0;
+        uint8_t* prow = pos + i * cap;
+        uint8_t* crow = code + i * cap;
+        int c = 0;
+        for (int32_t j = 0; j < l; ++j) {
+          uint8_t nib = (j & 1) ? (row[j >> 1] & 0xF) : (row[j >> 1] >> 4);
+          if (nib != nt16[g[j]]) {
+            if (c < cap) {
+              prow[c] = (uint8_t)j;
+              crow[c] = nib;
+            }
+            if (++c > cap) break;
+          }
+        }
+        cnt[i] = (uint8_t)(c > cap ? 255 : c);
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < nt; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& t : threads) t.join();
+}
+
 // Per-record MI:Z-tag candidate flags: out[i] = 1 when record i's aux
 // span contains the byte sequence 'M','I','Z' (same candidate predicate
 // as the engine's whole-payload numpy scan it replaces — a value-byte

@@ -352,3 +352,33 @@ def test_equivalence_duplex_multiread_strands(tmp_path):
                         n_errors=2)
     o, v = run_both(sb, tmp_path)
     assert_equivalent(o, v)
+
+
+def test_genome_sourced_upload_equivalence(tmp_path):
+    """Genome-sourced sparse upload (all-M rows reconstruct on device from
+    the resident genome + ref-diff edits) must produce byte-identical
+    output vs the head-dense staging (GENCORE_NO_GENOME_UP=1) and ship
+    fewer upload bytes."""
+    import os
+    from gencore_tpu.engine import VectorEngine
+    from gencore_tpu.io.fasta import FastaRef
+    sb = make_random_workload(31, n_fragments=800, umi_mode="duplex",
+                              contig_len=400_000, n_contigs=2)
+    bam_path = str(tmp_path / "in.bam")
+    fa_path = str(tmp_path / "in.fa")
+    sb.write_bam(bam_path)
+    sb.write_fasta(fa_path)
+    from gencore_tpu.io import bam as bamio
+    rdr = bamio.BamReader(bam_path)
+    batch = rdr.read_all()
+    fa = FastaRef.load(fa_path)
+    e1 = VectorEngine(Options(umi_prefix="UMI"), rdr.header, fasta=fa)
+    t1 = e1.run(batch)
+    os.environ["GENCORE_NO_GENOME_UP"] = "1"
+    try:
+        e2 = VectorEngine(Options(umi_prefix="UMI"), rdr.header, fasta=fa)
+        t2 = e2.run(batch)
+    finally:
+        del os.environ["GENCORE_NO_GENOME_UP"]
+    assert t1.encoded_records() == t2.encoded_records()
+    assert e1.wire_h2d < e2.wire_h2d
