@@ -135,6 +135,13 @@ def get_lib():
                                       ctypes.c_void_p, ctypes.c_void_p,
                                       ctypes.c_void_p, ctypes.c_void_p,
                                       ctypes.c_int]
+    if hasattr(lib, "gc_bam_index"):
+        lib.gc_bam_index.restype = ctypes.c_int64
+        lib.gc_bam_index.argtypes = (
+            [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+             ctypes.c_void_p, ctypes.c_int64,
+             ctypes.POINTER(ctypes.c_int64)]
+            + [ctypes.c_void_p] * 8 + [ctypes.c_int])
     if hasattr(lib, "gc_ref_edits"):
         lib.gc_ref_edits.restype = None
         lib.gc_ref_edits.argtypes = [ctypes.c_void_p, ctypes.c_int64,
@@ -450,6 +457,38 @@ def qual_edits(data: np.ndarray, qual_off, lens, cap: int):
                       base.ctypes.data, cnt.ctypes.data, pos.ctypes.data,
                       val.ctypes.data, seen.ctypes.data, 0)
     return base, cnt, pos, val, seen
+
+
+def bam_index(payload: np.ndarray, body_start: int):
+    """One-pass record scan + index-column + NM extraction (gc_bam_index):
+    returns (bounds int64[n+1] with bounds[n]=consumed, cols dict of
+    int32 arrays tid/pos/mtid/mpos/isize/flag/l_qseq/nm) or None without
+    the native lib. Stops cleanly at a trailing partial record."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gc_bam_index"):
+        return None
+    payload = np.ascontiguousarray(payload, dtype=np.uint8)
+    cap = max(len(payload) // 36 + 2, 16)
+    while True:
+        offs = np.empty(cap, dtype=np.int64)
+        cols = {k: np.empty(cap, dtype=np.int32)
+                for k in ("tid", "pos", "mtid", "mpos", "isize", "flag",
+                          "l_qseq", "nm")}
+        consumed = ctypes.c_int64(0)
+        n = lib.gc_bam_index(
+            payload.ctypes.data, len(payload), body_start,
+            offs.ctypes.data, cap, ctypes.byref(consumed),
+            *[cols[k].ctypes.data for k in ("tid", "pos", "mtid", "mpos",
+                                            "isize", "flag", "l_qseq",
+                                            "nm")], 0)
+        if n == -2:
+            cap *= 2
+            continue
+        if n < 0:
+            return None
+        bounds = offs[:n + 1].copy()
+        bounds[n] = consumed.value
+        return bounds, {k: v[:n] for k, v in cols.items()}
 
 
 def ref_edits(packed: np.ndarray, lens, genome: np.ndarray, gpos,

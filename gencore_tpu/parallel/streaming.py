@@ -124,12 +124,15 @@ class StreamingBam:
         self.header = bamio.BamHeader(text, names, lengths)
         self._body_start = p
 
-    def build_index(self, per_chunk=None) -> _IndexColumns:
+    def build_index(self, per_chunk=None, per_chunk_cols=None) -> _IndexColumns:
         """Pass 1: chunked decode + record scan; keeps index columns only.
-        per_chunk(batch) is called on each chunk's RecordBatch (pre-stats).
-        The next chunk's threaded inflate runs on a prefetch thread (the
-        native call releases the GIL) while this thread scans/extracts the
-        current one."""
+        The fused native pass (gc_bam_index) scans boundaries and extracts
+        the index columns + NM values in ONE threaded walk over the chunk;
+        per_chunk_cols(cols) receives its int32 column dict (pre-stats).
+        Without the native pass, per_chunk(batch) gets a RecordBatch as
+        before. The next chunk's threaded inflate runs on a prefetch
+        thread (the native call releases the GIL) while this thread
+        scans/extracts the current one."""
         cols = {k: [] for k in ("tid", "pos", "mtid", "mpos", "isize",
                                 "flag", "l_qseq", "ustart", "uend")}
         spans = []
@@ -159,7 +162,8 @@ class StreamingBam:
                 buf, base = futs[ci].result()
                 futs[ci] = None
                 self._index_chunk(buf, base, pos, hi, cols, per_chunk,
-                                  first, carry, carry_base)
+                                  first, carry, carry_base,
+                                  per_chunk_cols=per_chunk_cols)
                 carry, carry_base, first = self._chunk_state
         finally:
             pool.shutdown(wait=False, cancel_futures=True)
@@ -170,7 +174,7 @@ class StreamingBam:
         return _IndexColumns(**cat)
 
     def _index_chunk(self, buf, base, pos, hi, cols, per_chunk, first,
-                     carry, carry_base):
+                     carry, carry_base, per_chunk_cols=None):
         """Scan one decoded chunk into the index columns; sets
         self._chunk_state = (carry, carry_base, first) for the caller."""
         # the decode is block-aligned and can extend past hi; trim to
@@ -188,10 +192,30 @@ class StreamingBam:
         else:
             buf = buf[start_in_buf:end_in_buf]
             buf_base = base + start_in_buf
+        n = len(buf)
+        if per_chunk_cols is not None:
+            # fused native pass: boundaries + columns + NM in one walk
+            bi = native.bam_index(buf, 0)
+            if bi is not None:
+                bounds, ncols = bi
+                nrec = len(bounds) - 1
+                p = int(bounds[-1])
+                if nrec:
+                    off_a = bounds[:nrec]
+                    end_a = np.empty(nrec, dtype=np.int64)
+                    end_a[:-1] = bounds[1:nrec] - 4
+                    end_a[-1] = p
+                    for k in ("tid", "pos", "mtid", "mpos", "isize",
+                              "flag", "l_qseq"):
+                        cols[k].append(ncols[k].astype(np.int64))
+                    cols["ustart"].append(off_a - 4 + buf_base)
+                    cols["uend"].append(end_a + buf_base)
+                    per_chunk_cols(ncols)
+                self._chunk_state = (buf[p:].copy(), buf_base + p, first)
+                return
         # scan complete records in buf (native partial scan; python
         # per-record loop only as fallback — at 100GB+ scale the index
         # pass must not crawl at interpreter speed, VERDICT r3 #4)
-        n = len(buf)
         sp = native.bam_scan_partial(buf, 0)
         if sp is not None:
             bounds, p = sp
@@ -312,6 +336,13 @@ def run_streaming(opt: Options, path: str, out_path: str,
                              batch.pos.astype(np.int64),
                              batch.l_qseq.astype(np.int64), nm))
 
+    def per_chunk_cols(c):
+        # fused native index already extracted NM with the same walk
+        chunks_stats.append((c["tid"].astype(np.int64),
+                             c["pos"].astype(np.int64),
+                             c["l_qseq"].astype(np.int64),
+                             c["nm"].astype(np.int64)))
+
     # need the header before building Stats: peek via first span
     buf0, _ = sbam._read_span(0, min(1 << 20, sbam.total))
     sbam._parse_header(buf0)
@@ -319,7 +350,8 @@ def run_streaming(opt: Options, path: str, out_path: str,
     probe = VectorEngine(opt, header, fasta=None)
     import time as _time
     _ti0 = _time.perf_counter()
-    index = sbam.build_index(per_chunk=per_chunk)
+    index = sbam.build_index(per_chunk=per_chunk,
+                             per_chunk_cols=per_chunk_cols)
     if stage_totals is not None:
         stage_totals["index"] = (stage_totals.get("index", 0.0)
                                  + _time.perf_counter() - _ti0)

@@ -303,6 +303,117 @@ int64_t gc_bam_scan_partial(const uint8_t* payload, int64_t len,
   return n;
 }
 
+// One-pass streaming index: boundary-scan complete records (exactly
+// gc_bam_scan_partial's contract) AND extract the window-planner columns
+// plus the NM tag value in the same call. The serial boundary walk is one
+// compare per record; the column/NM extraction then runs threaded over
+// record ranges. nm = 0 when the tag is absent (matching the engine's
+// vectorized _extract_nm default); integer NM types cCsSiI are decoded
+// with their signedness.
+static int32_t read_nm_value(const uint8_t* p, const uint8_t* end) {
+  while (p + 3 <= end) {
+    uint8_t t0 = p[0], t1 = p[1];
+    char ty = (char)p[2];
+    const uint8_t* v = p + 3;
+    int64_t sz;
+    switch (ty) {
+      case 'c': case 'C': case 'A': sz = 1; break;
+      case 's': case 'S': sz = 2; break;
+      case 'i': case 'I': case 'f': sz = 4; break;
+      case 'd': sz = 8; break;
+      case 'Z': case 'H': {
+        const uint8_t* z =
+            static_cast<const uint8_t*>(memchr(v, 0, end - v));
+        sz = z ? (z - v + 1) : (end - v);
+        break;
+      }
+      case 'B': {
+        if (v + 5 > end) return 0;
+        char st = (char)v[0];
+        uint32_t cnt;
+        memcpy(&cnt, v + 1, 4);
+        int es = (st == 'c' || st == 'C') ? 1
+                 : (st == 's' || st == 'S') ? 2 : 4;
+        sz = 5 + (int64_t)cnt * es;
+        break;
+      }
+      default: return 0;  // unknown type: stop walking
+    }
+    if (v + sz > end) return 0;
+    if (t0 == 'N' && t1 == 'M') {
+      switch (ty) {
+        case 'C': return v[0];
+        case 'c': return (int8_t)v[0];
+        case 'S': { uint16_t x; memcpy(&x, v, 2); return x; }
+        case 's': { int16_t x; memcpy(&x, v, 2); return x; }
+        case 'I': { uint32_t x; memcpy(&x, v, 4); return (int32_t)x; }
+        case 'i': { int32_t x; memcpy(&x, v, 4); return x; }
+        default: return 0;
+      }
+    }
+    p = v + sz;
+  }
+  return 0;
+}
+
+int64_t gc_bam_index(const uint8_t* payload, int64_t len, int64_t body_start,
+                     int64_t* offsets, int64_t offsets_cap, int64_t* consumed,
+                     int32_t* tid, int32_t* pos, int32_t* mtid, int32_t* mpos,
+                     int32_t* isize, int32_t* flag, int32_t* l_qseq,
+                     int32_t* nm, int n_threads) {
+  int64_t p = body_start;
+  int64_t n = 0;
+  while (p + 4 <= len) {
+    int32_t bs;
+    memcpy(&bs, payload + p, 4);
+    if (bs < 32) return -1;
+    if (p + 4 + bs > len) break;
+    if (n + 1 >= offsets_cap) return -2;  // caller must grow
+    offsets[n] = p + 4;
+    ++n;
+    p += 4 + bs;
+  }
+  offsets[n] = p;
+  *consumed = p;
+
+  int nt = hw_threads(n_threads);
+  std::atomic<int64_t> next(0);
+  const int64_t kChunk = 2048;
+  auto worker = [&]() {
+    for (;;) {
+      int64_t lo = next.fetch_add(kChunk);
+      if (lo >= n) break;
+      int64_t hi = std::min(lo + kChunk, n);
+      for (int64_t i = lo; i < hi; ++i) {
+        const uint8_t* r = payload + offsets[i];
+        const uint8_t* rend =
+            payload + (i + 1 < n ? offsets[i + 1] - 4 : *consumed);
+        int32_t v;
+        memcpy(&v, r + 0, 4); tid[i] = v;
+        memcpy(&v, r + 4, 4); pos[i] = v;
+        uint8_t l_read_name = r[8];
+        uint16_t ncig, fl;
+        memcpy(&ncig, r + 12, 2);
+        memcpy(&fl, r + 14, 2);
+        flag[i] = fl;
+        int32_t lq;
+        memcpy(&lq, r + 16, 4); l_qseq[i] = lq;
+        memcpy(&v, r + 20, 4); mtid[i] = v;
+        memcpy(&v, r + 24, 4); mpos[i] = v;
+        memcpy(&v, r + 28, 4); isize[i] = v;
+        const uint8_t* aux = r + 32 + l_read_name + 4 * (int64_t)ncig +
+                             (lq + 1) / 2 + lq;
+        nm[i] = (aux <= rend) ? read_nm_value(aux, rend) : 0;
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < nt; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& t : threads) t.join();
+  return n;
+}
+
 // Genome-reference row diff for the sparse upload: row i (4-bit packed
 // nibbles, lens[i] bases) is compared against NT16(genome[gpos[i]+j])
 // using the engine's ASCII->NT16 map (A=1 C=2 G=4 T=8, else 0); up to

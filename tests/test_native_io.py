@@ -122,3 +122,43 @@ def test_nib_seen_matches_numpy_scan():
             s16[packed[i, nb] >> 4] = True
     assert (got[0].astype(bool) == s256).all()
     assert (got[1].astype(bool) == s16).all()
+
+
+def test_bam_index_matches_recordbatch_columns():
+    """gc_bam_index's fused columns + NM must equal the RecordBatch
+    gathers + the engine's _extract_nm values."""
+    from tests.test_engine_equivalence import make_random_workload
+    from gencore_tpu.io import bam as bamio
+    from gencore_tpu.engine import VectorEngine
+    from gencore_tpu.options import Options
+    import tempfile, os
+    sb = make_random_workload(43, n_fragments=400, contig_len=200_000,
+                              n_contigs=2)
+    with tempfile.TemporaryDirectory() as wd:
+        p = os.path.join(wd, "x.bam")
+        sb.write_bam(p)
+        payload = native.bgzf_read(p)
+    # find body start by parsing the header
+    import struct
+    l_text = struct.unpack("<i", payload[4:8].tobytes())[0]
+    q = 8 + l_text
+    n_ref = struct.unpack("<i", payload[q:q + 4].tobytes())[0]
+    q += 4
+    for _ in range(n_ref):
+        ln = struct.unpack("<i", payload[q:q + 4].tobytes())[0]
+        q += 4 + ln + 4
+    bi = native.bam_index(payload[q:], 0)
+    assert bi is not None
+    bounds, cols = bi
+    n = len(bounds) - 1
+    off = bounds[:n]
+    end = np.empty(n, dtype=np.int64)
+    end[:-1] = bounds[1:n] - 4
+    end[-1] = bounds[-1]
+    batch = bamio.RecordBatch(payload[q:], off, end)
+    assert batch.n == n and n > 0
+    for k in ("tid", "pos", "mtid", "mpos", "isize", "flag", "l_qseq"):
+        assert (cols[k] == getattr(batch, k).astype(np.int64)).all(), k
+    eng = VectorEngine(Options(), sb.header, fasta=None)
+    nm, _ = eng._extract_nm(batch, batch.n)
+    assert (cols["nm"].astype(np.int64) == nm).all()
