@@ -359,7 +359,10 @@ def main():
             # over the threshold, in-memory window pipeline below it (the
             # ultradeep amplicon pile compresses far below the threshold
             # and pays a needless serial index pass under streaming)
-            thr = int(os.environ.get("GENCORE_STREAM_THRESHOLD", 32 << 20))
+            from gencore_tpu.parallel.streaming import (
+                DEFAULT_STREAM_THRESHOLD)
+            thr = int(os.environ.get("GENCORE_STREAM_THRESHOLD",
+                                     DEFAULT_STREAM_THRESHOLD))
             cfg_stream = os.path.getsize(bpath) >= thr
             from gencore_tpu.parallel.streaming import StreamingBamWriter
 

@@ -202,7 +202,9 @@ def main(argv=None) -> int:
     if (not use_stream and stream_ok and args.windows != 1
             and not os.environ.get("GENCORE_NO_STREAM")):
         from gencore_tpu.io import native as _nat
-        thr = int(os.environ.get("GENCORE_STREAM_THRESHOLD", 32 << 20))
+        from gencore_tpu.parallel.streaming import DEFAULT_STREAM_THRESHOLD
+        thr = int(os.environ.get("GENCORE_STREAM_THRESHOLD",
+                                 DEFAULT_STREAM_THRESHOLD))
         try:
             use_stream = (_nat.get_lib() is not None
                           and os.path.getsize(opt.input) >= thr)

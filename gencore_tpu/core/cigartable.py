@@ -48,10 +48,21 @@ class CigarTable:
         rows = np.arange(n)
         self.m_off = np.where(has_m, qpre[rows, first_m], 0).astype(np.int64)
         self.m_len = np.where(has_m, lens[rows, first_m], 0).astype(np.int64)
-        # cigar class ids: identity of the padded op/len rows
-        key_mat = np.ascontiguousarray(u32)
-        keys = key_mat.view(np.dtype((np.void, key_mat.dtype.itemsize * cmax))).ravel()
-        _, class_ids = np.unique(keys, return_inverse=True)
+        # cigar class ids: identity of the padded op/len rows. Up to two
+        # ops (the overwhelming real-data case: all-M or clip+M) packs
+        # into one uint64 so np.unique sorts integers instead of void
+        # byte-strings (several times faster on deep windows).
+        if cmax == 1:
+            _, class_ids = np.unique(u32[:, 0], return_inverse=True)
+        elif cmax == 2:
+            k64 = u32[:, 0].astype(np.uint64) | (u32[:, 1].astype(np.uint64)
+                                                 << np.uint64(32))
+            _, class_ids = np.unique(k64, return_inverse=True)
+        else:
+            key_mat = np.ascontiguousarray(u32)
+            keys = key_mat.view(np.dtype(
+                (np.void, key_mat.dtype.itemsize * cmax))).ravel()
+            _, class_ids = np.unique(keys, return_inverse=True)
         # distinguish different n_cigar with same padded content (impossible:
         # padding is zeros and a real op cannot be len 0 except op 0 with len 0
         # which is degenerate; combine with nc to be safe)

@@ -1289,11 +1289,20 @@ class VectorEngine:
             # fused upload+score (one execute). Empty geometry still runs
             # the program: all rows unscored -> moderate default + original
             # quals (pair.cpp:92), which the plain path's `default` mirrors.
-            mate16, meta = _pack_score_meta(
-                N, lrow, rrow,
-                ls if lrow is not None else None,
-                rs if lrow is not None else None,
-                cl if lrow is not None else None)
+            # When NO pair overlaps (amplicon panels: mate gap >= read
+            # length), the per-row geometry is pure wire waste — ship one
+            # scored BIT per row instead and score by qual tier alone
+            # (in_ov is empty so the kernels agree exactly).
+            no_ov = lrow is None or not bool((cl > 0).any())
+            if no_ov:
+                scored_m = np.zeros(N, dtype=bool)
+                if lrow is not None:
+                    scored_m[lrow] = True
+                    scored_m[rrow] = True
+                mate16 = np.zeros(1, dtype=np.uint16)
+                meta = np.packbits(scored_m, bitorder="little")
+            else:
+                mate16, meta = _pack_score_meta(N, lrow, rrow, ls, rs, cl)
             s = work._sup
             self._acct_up(mate16, meta,
                           *[v for v in s.values()
@@ -1306,7 +1315,7 @@ class VectorEngine:
                     s["has_qdense"], s["has_qedit"], s["const_lens"],
                     opts["hi"], opts["mod"], opts["lo"], opts["s_hi"],
                     opts["s_mod"], opts["s_lo"], opts["s_bad"],
-                    s["has_genome"])(
+                    s["has_genome"], no_ov)(
                     s["sd"], s["src"], s["scnt"], s["epos"], s["ecode"],
                     s["base"], s["q_src"], s["qd"], s["qcnt"], s["qpos"],
                     s["qval"], s["lens16"], mate16, meta, g, s["gslots"])
@@ -2751,6 +2760,11 @@ class VectorEngine:
         patch = np.full(n, -1, dtype=np.int64)
         if n == 0:
             return out, patch
+        from gencore_tpu.io import native as _natnm
+        if batch.data.flags.c_contiguous:
+            got = _natnm.nm_extract(batch.data, batch.aux_off, batch.end)
+            if got is not None:
+                return got
         tag = b"NM"
         off0, typ0 = batch.find_tag(0, tag)
         done = np.zeros(n, dtype=bool)
@@ -2986,7 +3000,8 @@ def _upload_sparse_fn(w: int, L: int, mode2: bool, has_sedit: bool,
 def _upload_score_fn(w: int, L: int, mode2: bool, has_sedit: bool,
                      has_qdense: bool, has_qedit: bool, const_lens: bool,
                      hi: int, mod: int, lo: int, s_hi: int, s_mod: int,
-                     s_lo: int, s_bad: int, has_genome: bool = False):
+                     s_lo: int, s_bad: int, has_genome: bool = False,
+                     no_overlap: bool = False):
     """Fused upload-reconstruction + overlap-scoring program: ONE device
     execute builds the resident seq/qual matrices from the sparse wire
     form AND applies Pair::computeScore across all rows (pair.cpp:88-172).
@@ -3002,6 +3017,18 @@ def _upload_score_fn(w: int, L: int, mode2: bool, has_sedit: bool,
           lens16, mate16, meta, genome, gsl):
         seq, qual, lens = up(sd, src, scnt, epos, ecode, base, q_src, qd,
                              qcnt, qpos, qval, lens16, genome, gsl)
+        if no_overlap:
+            # meta = per-row scored bits (little order); empty overlap
+            # windows reduce score_map_kernel to the qual tier per
+            # position with untouched quals (pair.cpp:92,124-131)
+            import jax.numpy as jnp
+            bits = ((meta[:, None] >> jnp.arange(8, dtype=jnp.uint8)[None, :])
+                    & 1).reshape(-1)[:qual.shape[0]].astype(jnp.bool_)
+            q = qual.astype(jnp.int32)
+            sc = kernels._qual2score(q, hi, mod, lo, s_hi, s_mod, s_lo,
+                                     s_bad)
+            score = jnp.where(bits[:, None], sc, s_mod).astype(jnp.int8)
+            return seq, qual, score
         score, qual2 = kernels.score_map_kernel_packed(
             seq, qual, lens, mate16, meta, hi=hi, mod=mod, lo=lo,
             s_hi=s_hi, s_mod=s_mod, s_lo=s_lo, s_bad=s_bad)

@@ -135,6 +135,12 @@ def get_lib():
                                       ctypes.c_void_p, ctypes.c_void_p,
                                       ctypes.c_void_p, ctypes.c_void_p,
                                       ctypes.c_int]
+    if hasattr(lib, "gc_nm_extract"):
+        lib.gc_nm_extract.restype = None
+        lib.gc_nm_extract.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                      ctypes.c_void_p, ctypes.c_int64,
+                                      ctypes.c_void_p, ctypes.c_void_p,
+                                      ctypes.c_int]
     if hasattr(lib, "gc_bam_index"):
         lib.gc_bam_index.restype = ctypes.c_int64
         lib.gc_bam_index.argtypes = (
@@ -512,6 +518,24 @@ def ref_edits(packed: np.ndarray, lens, genome: np.ndarray, gpos,
                      g.ctypes.data, len(g), gp.ctypes.data, cap,
                      cnt.ctypes.data, pos.ctypes.data, code.ctypes.data, 0)
     return cnt, pos, code
+
+
+def nm_extract(data: np.ndarray, aux_off, end):
+    """Threaded NM tag extraction (gc_nm_extract): (vals int64[n],
+    patch int64[n]) with patch = payload offset of a 1-byte 'C' value
+    (-1 otherwise), or None without the native lib."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gc_nm_extract"):
+        return None
+    ao = _c64(aux_off)
+    en = _c64(end)
+    n = len(ao)
+    vals = np.zeros(n, dtype=np.int64)
+    patch = np.full(n, -1, dtype=np.int64)
+    lib.gc_nm_extract(np.ascontiguousarray(data, np.uint8).ctypes.data,
+                      ao.ctypes.data, en.ctypes.data, n, vals.ctypes.data,
+                      patch.ctypes.data, 0)
+    return vals, patch
 
 
 def mi_flags(data: np.ndarray, aux_off, end):

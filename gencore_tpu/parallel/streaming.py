@@ -42,6 +42,14 @@ from gencore_tpu.parallel.windows import (global_checkpoint,
                                           global_watermark)
 
 
+# Auto-streaming size threshold (bytes of compressed BAM): above this the
+# CLI/bench run the two-pass windowed pipeline. With the fused native
+# pass-1 (gc_bam_index) the index costs ~25ms per 100MB, and streaming
+# overlaps pass-2 decode with device compute, so only toy inputs are
+# better off in-memory. GENCORE_STREAM_THRESHOLD overrides.
+DEFAULT_STREAM_THRESHOLD = 1 << 20
+
+
 class _IndexColumns:
     """Duck-typed RecordBatch surface for the window planner (only the
     fixed fields cluster_left_keys/global_checkpoint touch)."""

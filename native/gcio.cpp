@@ -356,6 +356,78 @@ static int32_t read_nm_value(const uint8_t* p, const uint8_t* end) {
   return 0;
 }
 
+// Engine-side NM extraction: value + patch offset of the 1-byte 'C'
+// value (-1 when absent or not C-typed — the reference patches only
+// then, group.cpp:569). Same aux walk as read_nm_value.
+void gc_nm_extract(const uint8_t* data, const int64_t* aux_off,
+                   const int64_t* end, int64_t n, int64_t* vals,
+                   int64_t* patch, int n_threads) {
+  int nt = hw_threads(n_threads);
+  std::atomic<int64_t> next(0);
+  const int64_t kChunk = 2048;
+  auto worker = [&]() {
+    for (;;) {
+      int64_t lo = next.fetch_add(kChunk);
+      if (lo >= n) break;
+      int64_t hi = std::min(lo + kChunk, n);
+      for (int64_t i = lo; i < hi; ++i) {
+        vals[i] = 0;
+        patch[i] = -1;
+        const uint8_t* p = data + aux_off[i];
+        const uint8_t* e = data + end[i];
+        while (p + 3 <= e) {
+          uint8_t t0 = p[0], t1 = p[1];
+          char ty = (char)p[2];
+          const uint8_t* v = p + 3;
+          int64_t sz;
+          switch (ty) {
+            case 'c': case 'C': case 'A': sz = 1; break;
+            case 's': case 'S': sz = 2; break;
+            case 'i': case 'I': case 'f': sz = 4; break;
+            case 'd': sz = 8; break;
+            case 'Z': case 'H': {
+              const uint8_t* z =
+                  static_cast<const uint8_t*>(memchr(v, 0, e - v));
+              sz = z ? (z - v + 1) : (e - v);
+              break;
+            }
+            case 'B': {
+              if (v + 5 > e) { sz = e - v; break; }
+              char st = (char)v[0];
+              uint32_t cnt;
+              memcpy(&cnt, v + 1, 4);
+              int es = (st == 'c' || st == 'C') ? 1
+                       : (st == 's' || st == 'S') ? 2 : 4;
+              sz = 5 + (int64_t)cnt * es;
+              break;
+            }
+            default: sz = e - v; break;  // unknown type: stop walking
+          }
+          if (v + sz > e) break;
+          if (t0 == 'N' && t1 == 'M') {
+            switch (ty) {
+              case 'C': vals[i] = v[0]; patch[i] = v - data; break;
+              case 'c': vals[i] = (int8_t)v[0]; break;
+              case 'S': { uint16_t x; memcpy(&x, v, 2); vals[i] = x; break; }
+              case 's': { int16_t x; memcpy(&x, v, 2); vals[i] = x; break; }
+              case 'I': { uint32_t x; memcpy(&x, v, 4);
+                          vals[i] = (int64_t)x; break; }
+              case 'i': { int32_t x; memcpy(&x, v, 4); vals[i] = x; break; }
+              default: break;
+            }
+            break;
+          }
+          p = v + sz;
+        }
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < nt; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& t : threads) t.join();
+}
+
 int64_t gc_bam_index(const uint8_t* payload, int64_t len, int64_t body_start,
                      int64_t* offsets, int64_t offsets_cap, int64_t* consumed,
                      int32_t* tid, int32_t* pos, int32_t* mtid, int32_t* mpos,
@@ -451,17 +523,32 @@ void gc_ref_edits(const uint8_t* packed, int64_t n, int64_t pw,
         uint8_t* prow = pos + i * cap;
         uint8_t* crow = code + i * cap;
         int c = 0;
-        for (int32_t j = 0; j < l; ++j) {
-          uint8_t nib = (j & 1) ? (row[j >> 1] & 0xF) : (row[j >> 1] >> 4);
-          if (nib != nt16[g[j]]) {
+        bool over = false;
+        int32_t nb = l / 2;
+        for (int32_t k = 0; k < nb; ++k) {
+          uint8_t gb = (uint8_t)((nt16[g[2 * k]] << 4) | nt16[g[2 * k + 1]]);
+          uint8_t rb = row[k];
+          if (rb == gb) continue;  // both bases match: one compare/2 bases
+          if ((rb >> 4) != (gb >> 4)) {
+            if (c < cap) { prow[c] = (uint8_t)(2 * k); crow[c] = rb >> 4; }
+            if (++c > cap) { over = true; break; }
+          }
+          if ((rb & 0xF) != (gb & 0xF)) {
             if (c < cap) {
-              prow[c] = (uint8_t)j;
-              crow[c] = nib;
+              prow[c] = (uint8_t)(2 * k + 1);
+              crow[c] = rb & 0xF;
             }
-            if (++c > cap) break;
+            if (++c > cap) { over = true; break; }
           }
         }
-        cnt[i] = (uint8_t)(c > cap ? 255 : c);
+        if (!over && (l & 1)) {
+          uint8_t nib = row[nb] >> 4;
+          if (nib != nt16[g[l - 1]]) {
+            if (c < cap) { prow[c] = (uint8_t)(l - 1); crow[c] = nib; }
+            if (++c > cap) over = true;
+          }
+        }
+        cnt[i] = (uint8_t)(over ? 255 : c);
       }
     }
   };
@@ -628,12 +715,21 @@ void gc_qual_edits(const uint8_t* data, const int64_t* qual_off, int64_t n,
         uint8_t* prow = pos + i * cap;
         uint8_t* vrow = val + i * cap;
         int c = 0;
-        for (int32_t j = 1; j < l; ++j) {
+        const uint64_t bb = 0x0101010101010101ULL * b;
+        int32_t j = 1;
+        while (j < l) {
+          // quals are overwhelmingly constant runs: skip 8-at-a-time
+          if (j + 8 <= l) {
+            uint64_t x;
+            memcpy(&x, q + j, 8);
+            if (x == bb) { j += 8; continue; }
+          }
           if (q[j] != b) {
             local_seen[q[j]] = 1;
             if (c < cap) { prow[c] = (uint8_t)j; vrow[c] = q[j]; }
             if (++c > cap) break;
           }
+          ++j;
         }
         if ((uint8_t)(c > cap ? 255 : c) == 255) {
           // overflow rows ship raw; the tail beyond the bailed scan still
