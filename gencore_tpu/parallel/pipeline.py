@@ -42,11 +42,16 @@ from gencore_tpu.parallel.windows import (cluster_left_keys,
                                           global_watermark, subset_batch)
 
 
-def plan_windows(batch: bamio.RecordBatch, header_lengths, n_windows: int):
+def plan_windows(batch: bamio.RecordBatch, header_lengths, n_windows: int,
+                 weights=None):
     """Split records into <= n_windows coordinate windows that never split
     a position cluster. Returns a list of ascending index arrays covering
     every owned (kind>0) record; windows are cut at clustered-read count
-    quantiles of the concatenated-genome cluster-left coordinate."""
+    quantiles of the concatenated-genome cluster-left coordinate — or,
+    with `weights` (per-record non-negative cost, e.g. measured device
+    time per read from a prior run), at cumulative-weight quantiles, so a
+    window of expensive reads gets fewer of them (profile-guided
+    rebalance; see __graft_entry__.dryrun_multichip)."""
     kind, left = cluster_left_keys(batch)
     own = kind > 0
     tlen = np.array(header_lengths, dtype=np.int64)
@@ -56,12 +61,24 @@ def plan_windows(batch: bamio.RecordBatch, header_lengths, n_windows: int):
     oc = coord[own]
     if len(oc) == 0:
         return []
-    sc = np.sort(oc)
     cuts = []
-    for k in range(1, n_windows):
-        v = sc[min(int(round(k * len(sc) / n_windows)), len(sc) - 1)]
-        if not cuts or v > cuts[-1]:
-            cuts.append(v)
+    if weights is None:
+        sc = np.sort(oc)
+        for k in range(1, n_windows):
+            v = sc[min(int(round(k * len(sc) / n_windows)), len(sc) - 1)]
+            if not cuts or v > cuts[-1]:
+                cuts.append(v)
+    else:
+        w_own = np.asarray(weights, dtype=np.float64)[own]
+        order = np.argsort(oc, kind="stable")
+        sc = oc[order]
+        cw = np.cumsum(w_own[order])
+        tot = float(cw[-1]) if len(cw) else 0.0
+        for k in range(1, n_windows):
+            i = int(np.searchsorted(cw, k * tot / n_windows))
+            v = sc[min(i, len(sc) - 1)]
+            if not cuts or v > cuts[-1]:
+                cuts.append(v)
     cuts_a = np.asarray(cuts, dtype=np.int64)
     wid = np.searchsorted(cuts_a, coord, side="right")
     out = []
@@ -221,7 +238,8 @@ def run_pipelined(opt: Options, batch: bamio.RecordBatch, header,
                   fasta=None, bed=None, n_windows: int = 0,
                   devices=None, warm_only: bool = False,
                   max_inflight: int = 3, stage_totals: dict = None,
-                  engines_out: list = None, out_writer=None):
+                  engines_out: list = None, out_writer=None,
+                  window_weights=None):
     """Run the vectorized engine as a window pipeline; returns
     (tables, pre_stats, post_stats) record-equivalent to a single-shot
     VectorEngine.run (the merged outputs are ordered by windows.merged_records).
@@ -272,7 +290,8 @@ def run_pipelined(opt: Options, batch: bamio.RecordBatch, header,
 
     ck = global_checkpoint(batch)
     wm = global_watermark(batch, header.lengths)
-    wins = plan_windows(batch, header.lengths, n_windows)
+    wins = plan_windows(batch, header.lengths, n_windows,
+                        weights=window_weights)
     if not wins:
         return [], pre, post
     bounds = (window_flush_boundaries(batch, wins)

@@ -11,6 +11,10 @@
 //   does vectorized field gathers on top.
 //   encode: takes a fully assembled uncompressed payload and writes BGZF.
 
+#ifdef __linux__
+#include <sched.h>
+#endif
+
 #include <atomic>
 #include <cstdint>
 #include <cstdio>
@@ -39,6 +43,15 @@ constexpr uint8_t kBgzfEof[28] = {
 
 int hw_threads(int requested) {
   if (requested > 0) return requested;
+  // respect cpu affinity (taskset-pinned multi-host processes must not
+  // oversubscribe their core); hardware_concurrency ignores it
+#ifdef __linux__
+  cpu_set_t s;
+  if (sched_getaffinity(0, sizeof(s), &s) == 0) {
+    int n = CPU_COUNT(&s);
+    if (n > 0) return n;
+  }
+#endif
   unsigned n = std::thread::hardware_concurrency();
   return n ? static_cast<int>(n) : 2;
 }
