@@ -494,13 +494,47 @@ class VectorEngine:
 
         with _T0("sort"):
             qname_mat, qname_w = self._qname_matrix(batch, cidx)
-            qname_keys = qname_mat.view(f"S{qname_w}").ravel()
-            order = np.lexsort((cidx, qname_keys, ckey_r, ckey_l, ckey_t))
+            # qname sort key: real qnames share a long run-constant prefix,
+            # so the 8 bytes after the batch-common prefix (big-endian u64
+            # = lex order) almost always decide the order; an adjacency
+            # check proves exactness post-sort and falls back to the full
+            # byte-string lexsort on any collision between distinct qnames
+            s_q = None
+            if qname_w > 8 and nclust > 1:
+                lo = qname_mat.min(axis=0)
+                hi = qname_mat.max(axis=0)
+                neq = np.nonzero(lo != hi)[0]
+                p0 = int(neq[0]) if len(neq) else qname_w
+                sub = qname_mat[:, p0:p0 + 8]
+                if sub.shape[1] < 8:
+                    sub = np.pad(sub, ((0, 0), (0, 8 - sub.shape[1])))
+                key64 = np.ascontiguousarray(sub).view(">u8").ravel()
+                key64 = key64.astype(np.uint64)
+                order = np.lexsort((cidx, key64, ckey_r, ckey_l, ckey_t))
+                kk = key64[order]
+                st_ = ckey_t[order]
+                sl_ = ckey_l[order]
+                sr_ = ckey_r[order]
+                same = ((kk[1:] == kk[:-1]) & (st_[1:] == st_[:-1])
+                        & (sl_[1:] == sl_[:-1]) & (sr_[1:] == sr_[:-1]))
+                ok64 = True
+                if same.any():
+                    ia = order[:-1][same]
+                    ib = order[1:][same]
+                    ok64 = bool((qname_mat[ia] == qname_mat[ib]).all())
+                if ok64:
+                    # adjacent key64 ties are whole-qname ties, so key64
+                    # equality is qname equality for the pair detection
+                    s_q = kk
+            if s_q is None:
+                qname_keys = qname_mat.view(f"S{qname_w}").ravel()
+                order = np.lexsort((cidx, qname_keys, ckey_r, ckey_l,
+                                    ckey_t))
+                s_q = qname_keys[order]
         s_rec = cidx[order]
         s_t = ckey_t[order]
         s_l = ckey_l[order]
         s_r = ckey_r[order]
-        s_q = qname_keys[order]
 
         new_cluster = np.ones(nclust, dtype=bool)
         new_cluster[1:] = (s_t[1:] != s_t[:-1]) | (s_l[1:] != s_l[:-1]) | (s_r[1:] != s_r[:-1])
@@ -3478,7 +3512,14 @@ class _WorkArrays:
             if not row_g.any():
                 red = None
 
-        sed = (native.seq_edits(self.seq_packed[:ne], rep, ln,
+        if red is not None and row_g.any():
+            # genome-mode rows skip the member-vs-head diff scan entirely
+            # (rep == self early-outs in gc_seq_edits); their edits come
+            # from the ref diff
+            rep_eff = np.where(row_g, np.arange(ne, dtype=np.int64), rep)
+        else:
+            rep_eff = rep
+        sed = (native.seq_edits(self.seq_packed[:ne], rep_eff, ln,
                                 _SPARSE_SEQ_CAP)
                if use_native and ne and not row_g.all() else None)
         if sed is not None or red is not None:

@@ -382,3 +382,36 @@ def test_genome_sourced_upload_equivalence(tmp_path):
         del os.environ["GENCORE_NO_GENOME_UP"]
     assert t1.encoded_records() == t2.encoded_records()
     assert e1.wire_h2d < e2.wire_h2d
+
+
+def test_qname_sort_key64_collision_fallback():
+    """Qnames that collide in the 8 bytes after the batch-common prefix
+    must still sort in exact byte order (the u64 fast key detects the
+    collision and falls back to the full lexsort)."""
+    sb = SyntheticBam(seed=5, contig_len=100_000, n_contigs=1)
+    # LCP is 0 (A/B at byte 0); pairs share their first 8 bytes and
+    # differ only at byte 9 — beyond the u64 window
+    names = iter(["AXXXXXXXB9", "AXXXXXXXA1", "BXXXXXXXC5", "BXXXXXXXA0",
+                  "AXXXXXXXA0", "AXXXXXXXC2", "BXXXXXXXB7", "BXXXXXXXA9"])
+    orig = sb._qname
+    sb._qname = lambda umi=None: next(names)
+    for _ in range(4):
+        sb.add_pair(0, 5000, 5150, read_len=100, n_errors=1, qual=30)
+    sb._qname = orig
+    import tempfile
+    with tempfile.TemporaryDirectory() as wd:
+        import os
+        p = os.path.join(wd, "c.bam")
+        fp = os.path.join(wd, "c.fa")
+        sb.write_bam(p)
+        sb.write_fasta(fp)
+        rdr = bam.BamReader(p)
+        batch = rdr.read_all()
+        fa = FastaRef.load(fp)
+        vec = VectorEngine(Options(), rdr.header, fasta=fa)
+        tv = vec.run(batch)
+        orc = OracleEngine(Options(), rdr.header, fasta=fa)
+        to = orc.run(bam.BamReader(p).read_all())
+        vb = tv.encoded_records()
+        ob = [r if isinstance(r, bytes) else r.encode() for r in to]
+        assert vb == ob
