@@ -276,11 +276,9 @@ def run_pipelined(opt: Options, batch: bamio.RecordBatch, header,
                              batch.l_qseq.astype(np.int64), nm)
 
     if n_windows <= 0:
-        # ~30k clustered reads per window: measured sweet spot — finer
-        # overlap granularity and row-bucket-friendly sizes (30k pads to
-        # 32768 = 1.09x vs 40k -> 49152 = 1.22x) beat the per-window
-        # fixed dispatch cost
-        n_windows = max(1, min(16, -(-batch.n // 30_000)))
+        # ~40k clustered reads per window amortizes per-window fixed costs
+        # while leaving enough windows to overlap stages
+        n_windows = max(1, min(16, batch.n // 40_000))
     if opt.debug and batch.n:
         # contig progress once, globally (window engines suppress theirs:
         # they would reprint per window, interleaved across threads)

@@ -387,8 +387,7 @@ def run_streaming(opt: Options, path: str, out_path: str,
             opt.umi_prefix = ""
 
     if n_windows <= 0:
-        # same ~30k/window sweet spot as pipeline.run_pipelined
-        n_windows = max(2, min(64, -(-index.n // 30_000)))
+        n_windows = max(2, min(64, index.n // 40_000))
     ck = global_checkpoint(index)
     wm = global_watermark(index, header.lengths)
     wins = plan_windows(index, header.lengths, n_windows)
